@@ -1,0 +1,79 @@
+"""Command-line interface: ``tpu-bwa index|mem|version``.
+
+Mirrors the reference CLI surface (SURVEY.md §0):
+  bwa-mem2 index <ref.fa>
+  bwa-mem2 mem [-t N] [-k minSeedLen] <ref.fa> r1.fq [r2.fq] > out.sam
+  bwa-mem2 version
+(reference: [src] src/main.cpp subcommands; README.md:56-64)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import tpubwa
+
+
+def cmd_index(args) -> int:
+    import os
+
+    from tpubwa.index.fmindex import FMIndex
+
+    if not os.path.exists(args.ref):
+        print(f"tpu-bwa index: no such file: {args.ref}", file=sys.stderr)
+        return 1
+    t0 = time.monotonic()
+    print(f"[tpu-bwa] building FM-index for {args.ref}", file=sys.stderr)
+    idx = FMIndex.from_fasta(args.ref)
+    idx.save(args.ref)
+    print(
+        f"[tpu-bwa] index built: l_pac={idx.l_pac} seq_len={idx.seq_len} "
+        f"contigs={len(idx.contigs)} in {time.monotonic()-t0:.2f}s",
+        file=sys.stderr)
+    return 0
+
+
+def cmd_mem(args) -> int:
+    from tpubwa.align.pipeline import align_fastq
+
+    return align_fastq(
+        ref=args.ref,
+        fq1=args.reads1,
+        fq2=args.reads2,
+        out=sys.stdout,
+        min_seed_len=args.k,
+        threads=args.t,
+        batch_reads=args.batch,
+        cmdline=" ".join(sys.argv),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tpu-bwa",
+                                description="TPU-native short-read aligner")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build FM-index for a FASTA reference")
+    pi.add_argument("ref")
+    pi.set_defaults(fn=cmd_index)
+
+    pm = sub.add_parser("mem", help="align FASTQ reads, write SAM to stdout")
+    pm.add_argument("-t", type=int, default=1, help="host worker threads")
+    pm.add_argument("-k", type=int, default=19, help="minimum seed length")
+    pm.add_argument("--batch", type=int, default=None,
+                    help="reads per device batch")
+    pm.add_argument("ref")
+    pm.add_argument("reads1")
+    pm.add_argument("reads2", nargs="?", default=None)
+    pm.set_defaults(fn=cmd_mem)
+
+    pv = sub.add_parser("version")
+    pv.set_defaults(fn=lambda a: (print(tpubwa.__version__), 0)[1])
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

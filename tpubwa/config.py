@@ -1,0 +1,84 @@
+"""Alignment options — the equivalent of bwa-mem's ``mem_opt_t``.
+
+Defaults mirror bwa-mem2's ``mem_opt_init()`` (reference: [src] bwamem.cpp;
+surveyed via SURVEY.md §5 "Config / flag system": CLI flags `-t`, `-k`, and
+hard-coded tunables `MAX_SEED_HITS`, `BATCH_THRESHOLD`, `MAX_SEQ_LEN8` are all
+surfaced here as config fields).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MemOptions:
+    # scoring
+    a: int = 1                  # match score
+    b: int = 4                  # mismatch penalty
+    o_del: int = 6              # gap open (deletion)
+    e_del: int = 1              # gap extend (deletion)
+    o_ins: int = 6              # gap open (insertion)
+    e_ins: int = 1              # gap extend (insertion)
+    pen_unpaired: int = 17      # phred-scaled penalty for unpaired reads
+    pen_clip5: int = 5
+    pen_clip3: int = 5
+    w: int = 100                # band width
+    zdrop: int = 100            # Z-dropoff
+
+    # seeding
+    min_seed_len: int = 19
+    split_width: int = 10
+    split_factor: float = 1.5
+    max_mem_intv: int = 20      # 3rd-round (LAST-like) seeding occ cap; 0 disables
+    max_occ: int = 500          # skip a seed if its SMEM has more occurrences
+    max_seed_hits: int = 10000  # per-read cap on total seed hits (ref: MAX_SEED_HITS)
+
+    # chaining
+    max_chain_gap: int = 10000
+    min_chain_weight: int = 0
+    max_chain_extend: int = 1 << 30
+    mask_level: float = 0.50
+    drop_ratio: float = 0.50
+    mask_level_redun: float = 0.95
+
+    # output
+    T: int = 30                 # minimum score to output
+    mapQ_coef_len: int = 50
+    max_XA_hits: int = 5
+    XA_drop_ratio: float = 0.80
+
+    # pairing
+    max_ins: int = 10000
+    max_matesw: int = 50
+
+    # pipeline / device batching (TPU-specific; no reference analog except
+    # kthread batch sizes — SURVEY.md §2 kt_for ARM_BATCH_SIZE lesson: small
+    # balanced batches)
+    chunk_size: int = 10_000_000   # bases per pipeline super-chunk
+    batch_reads: int = 4096        # reads per device batch
+    max_read_len: int = 160        # static padded read length on device
+    max_smems_per_read: int = 64   # static SMEM capacity per read
+    max_seeds_per_read: int = 128  # static seed capacity per read
+    max_chains_per_read: int = 64
+
+    @property
+    def mapQ_coef_fac(self) -> float:
+        return math.log(self.mapQ_coef_len)
+
+    @property
+    def split_len(self) -> int:
+        # bwa: (int)(opt->min_seed_len * opt->split_factor + .499)
+        return int(self.min_seed_len * self.split_factor + 0.499)
+
+    def score_matrix(self) -> np.ndarray:
+        """5x5 scoring matrix (bwa_fill_scmat): ACGT x ACGT, row/col 4 = N."""
+        mat = np.full((5, 5), -1, dtype=np.int32)
+        for i in range(4):
+            for j in range(4):
+                mat[i, j] = self.a if i == j else -self.b
+        mat[4, :] = -1
+        mat[:, 4] = -1
+        return mat

@@ -1,0 +1,199 @@
+"""FM-index build + on-disk + HBM layout.
+
+TPU-native redesign of bwa-mem2's index (reference: [src] FMI_search.{h,cpp}
+data structures ``cp_occ``/``GET_OCC``/``sa_ms_byte``/``sa_ls_word``, cited in
+PHASE4_WEEK4_POLISH.md:141-260 — see SURVEY.md §2.1/§3.2).  Differences by
+design:
+
+- occ checkpoints are a single fused int32 tensor ``cp[nblocks, 8]`` — cols
+  0..3 = cumulative base counts at the block start, cols 4..7 = the block's 64
+  BWT symbols 2-bit-packed into 4 words (bitcast uint32).  One HBM gather row
+  fetches everything an occ query needs, mirroring GET_OCC's one-cache-line
+  design (SURVEY.md §7 "FM-index memory behavior").
+- the suffix array is stored full-resolution (like bwa-mem2's 5-byte
+  sa_ms_byte+sa_ls_word) as int32 while seq_len < 2^31; the GRCh38-scale
+  split-hi/lo layout is a planned extension.
+
+Conventions (self-contained; property-tested against naive search):
+- index text: seq = forward_ref + revcomp(forward_ref), length N = 2*l_pac.
+- suffix array over seq + sentinel: rows r in [0, N], sa[0] == N.
+- primary = row whose suffix starts at 0 (its BWT char is the sentinel).
+- stored bwt (length N) omits the sentinel row; occ_full(c, i) =
+  occ_stored(c, i - (i > primary)).
+- L2[c] = 1 + #{symbols < c in seq}; empty-pattern interval = [0, N+1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from tpubwa.io.fasta import Contig, read_fasta
+from tpubwa.index.sais import bwt_and_primary, suffix_array
+from tpubwa.utils.dna import pack_2bit, unpack_2bit
+
+CP_BLOCK = 64  # bwt symbols per occ checkpoint (ref: CP_SHIFT=6 block design)
+INDEX_SUFFIX = ".tpubwa"
+
+
+@dataclasses.dataclass
+class FMIndex:
+    contigs: list[Contig]
+    l_pac: int                 # forward reference length
+    pac_words: np.ndarray      # uint32, forward ref 2-bit packed (16/word)
+    primary: int
+    L2: np.ndarray             # int64[5]: L2[c] = 1 + #symbols<c; L2[4]=N+1
+    cp: np.ndarray             # int32 [nblocks, 8] fused occ checkpoints
+    sa: np.ndarray             # int32 [N+1] full suffix array
+    holes: np.ndarray          # int64 [n,2] ambiguous-base runs (fwd coords)
+
+    @property
+    def seq_len(self) -> int:
+        return 2 * self.l_pac
+
+    # ---------------- build ----------------
+
+    @classmethod
+    def build(cls, contigs: list[Contig], codes: np.ndarray,
+              holes: np.ndarray | None = None,
+              use_native: bool | None = None) -> "FMIndex":
+        l_pac = int(codes.size)
+        rc = (3 - codes[::-1]).astype(np.uint8)
+        seq = np.concatenate([codes, rc])
+        n = seq.size
+        if n + 1 >= 2**31:
+            raise NotImplementedError(
+                "references over ~1Gb need the int64/sharded index layout")
+        sa = suffix_array(seq, use_native=use_native)
+        bwt, primary = bwt_and_primary(seq, sa)
+
+        counts = np.bincount(seq, minlength=4).astype(np.int64)
+        L2 = np.zeros(5, dtype=np.int64)
+        L2[1:] = np.cumsum(counts)
+        L2 += 1  # sentinel occupies rank 0
+        L2[0] = 1
+
+        cp = cls._build_checkpoints(bwt, n)
+        return cls(
+            contigs=contigs,
+            l_pac=l_pac,
+            pac_words=pack_2bit(codes),
+            primary=primary,
+            L2=L2,
+            cp=cp,
+            sa=sa.astype(np.int32),
+            holes=holes if holes is not None else np.zeros((0, 2), np.int64),
+        )
+
+    @classmethod
+    def from_fasta(cls, path: str, use_native: bool | None = None) -> "FMIndex":
+        contigs, codes, holes = read_fasta(path)
+        return cls.build(contigs, codes, holes, use_native=use_native)
+
+    @staticmethod
+    def _build_checkpoints(bwt: np.ndarray, n: int) -> np.ndarray:
+        nblocks = n // CP_BLOCK + 1
+        cp = np.zeros((nblocks, 8), dtype=np.int32)
+        # cumulative counts at block starts
+        onehot = np.zeros((4, n), dtype=np.int32)
+        for c in range(4):
+            onehot[c] = bwt == c
+        csum = np.cumsum(onehot, axis=1)
+        starts = np.arange(1, nblocks) * CP_BLOCK
+        cp[1:, 0:4] = csum[:, np.minimum(starts, n) - 1].T
+        # packed bwt words per block (4 uint32 words = 64 codes)
+        padded = np.zeros(nblocks * CP_BLOCK, dtype=np.uint8)
+        padded[:n] = bwt
+        words = pack_2bit(padded).reshape(nblocks, 4)
+        cp[:, 4:8] = words.view(np.int32)
+        return cp
+
+    # ---------------- host queries (reference semantics) ----------------
+
+    def occ_stored(self, c: int, i: int) -> int:
+        """# of code c in stored bwt[0:i) — host scalar, for tests."""
+        b, off = divmod(i, CP_BLOCK)
+        base = int(self.cp[b, c])
+        if off == 0:
+            return base
+        words = self.cp[b, 4:8].view(np.uint32)
+        codes = unpack_2bit(words, off)
+        return base + int(np.count_nonzero(codes == c))
+
+    def occ_full(self, c: int, i: int) -> int:
+        """# of code c in BWT_full[0:i), i in [0, N+1]."""
+        return self.occ_stored(c, i - (1 if i > self.primary else 0))
+
+    def fetch_ref(self, rb: int, re: int) -> np.ndarray:
+        """Reference codes for [rb, re) in 2*l_pac coordinates (host)."""
+        assert 0 <= rb <= re <= self.seq_len
+        out = np.empty(re - rb, dtype=np.uint8)
+        pos = np.arange(rb, re)
+        fwd = pos < self.l_pac
+        if fwd.any():
+            p = pos[fwd]
+            out[fwd] = self._fwd_codes(p)
+        if (~fwd).any():
+            p = 2 * self.l_pac - 1 - pos[~fwd]
+            out[~fwd] = 3 - self._fwd_codes(p)
+        return out
+
+    def _fwd_codes(self, p: np.ndarray) -> np.ndarray:
+        w = self.pac_words[p >> 4]
+        return ((w >> ((p & 15).astype(np.uint32) * 2)) & 3).astype(np.uint8)
+
+    def depos(self, rb: int, re: int) -> tuple[bool, int, int]:
+        """Map [rb, re) in 2*l_pac space to (is_rev, fwd_rb, fwd_re)."""
+        is_rev = rb >= self.l_pac
+        if is_rev:
+            rb, re = 2 * self.l_pac - re, 2 * self.l_pac - rb
+        return is_rev, rb, re
+
+    def pos_to_rid(self, pos: int) -> int:
+        """Contig id for a forward-coordinate position; -1 if out of range."""
+        if pos < 0 or pos >= self.l_pac:
+            return -1
+        offs = np.array([c.offset for c in self.contigs], dtype=np.int64)
+        return int(np.searchsorted(offs, pos, side="right") - 1)
+
+    # ---------------- persistence ----------------
+
+    def save(self, prefix: str) -> None:
+        meta = {
+            "version": 1,
+            "l_pac": self.l_pac,
+            "primary": self.primary,
+            "contigs": [dataclasses.asdict(c) for c in self.contigs],
+        }
+        np.savez(
+            prefix + INDEX_SUFFIX + ".npz",
+            pac_words=self.pac_words,
+            L2=self.L2,
+            cp=self.cp,
+            sa=self.sa,
+            holes=self.holes,
+        )
+        with open(prefix + INDEX_SUFFIX + ".json", "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, prefix: str) -> "FMIndex":
+        with open(prefix + INDEX_SUFFIX + ".json") as f:
+            meta = json.load(f)
+        z = np.load(prefix + INDEX_SUFFIX + ".npz")
+        return cls(
+            contigs=[Contig(**c) for c in meta["contigs"]],
+            l_pac=meta["l_pac"],
+            pac_words=z["pac_words"],
+            primary=meta["primary"],
+            L2=z["L2"],
+            cp=z["cp"],
+            sa=z["sa"],
+            holes=z["holes"],
+        )
+
+    @staticmethod
+    def exists(prefix: str) -> bool:
+        return os.path.exists(prefix + INDEX_SUFFIX + ".json")
