@@ -1,0 +1,148 @@
+"""Device-side FM-index search primitives (JAX).
+
+TPU-native re-expression of bwa-mem2's backward search (reference: [src]
+FMI_search.cpp backwardExt :1154-1220 and the GET_OCC checkpoint macro,
+surveyed in SURVEY.md §2.1): each occ query is ONE gather row from the fused
+``cp[nblocks, 8]`` int32 tensor (4 cumulative counts + 64 BWT symbols packed
+2-bit into 4 words), followed by in-register popcount — the TPU analog of the
+reference's one-cache-line GET_OCC design.
+
+All functions are shape-polymorphic over leading batch dims and jit-safe.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpubwa.index.fmindex import FMIndex
+
+
+class DeviceIndex(NamedTuple):
+    """HBM-resident FM-index tensors."""
+
+    cp: jax.Array         # int32 [nblocks, 8]
+    sa: jax.Array         # int32 [N+1]
+    pac_words: jax.Array  # uint32 [ceil(l_pac/16)]
+    L2: jax.Array         # int32 [5]
+    primary: jax.Array    # int32 scalar
+    l_pac: jax.Array      # int32 scalar
+
+    @classmethod
+    def from_host(cls, idx: FMIndex) -> "DeviceIndex":
+        return cls(
+            cp=jnp.asarray(idx.cp, dtype=jnp.int32),
+            sa=jnp.asarray(idx.sa, dtype=jnp.int32),
+            pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
+            L2=jnp.asarray(idx.L2, dtype=jnp.int32),
+            primary=jnp.int32(idx.primary),
+            l_pac=jnp.int32(idx.l_pac),
+        )
+
+
+class BiInterval(NamedTuple):
+    """Bidirectional SA interval: [k, k+s) for pattern P, [l, l+s) for
+    revcomp(P).  All int32, arbitrary (shared) batch shape."""
+
+    k: jax.Array
+    l: jax.Array
+    s: jax.Array
+
+
+_EQ_PAT = np.array(
+    [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=np.uint32)
+
+
+def occ4(cp: jax.Array, primary: jax.Array, i: jax.Array) -> jax.Array:
+    """occ_full(c, i) for all 4 bases.
+
+    i: int32 [...], values in [0, N+1].  Returns int32 [..., 4]:
+    counts of each base in BWT_full[0:i) (sentinel row handled via the
+    primary-shift; the sentinel itself is never counted here).
+    """
+    j = i - (i > primary).astype(jnp.int32)
+    blk = j >> 6
+    off = j & 63
+    row = cp[blk]                       # [..., 8] one gather per query
+    counts = row[..., 0:4]
+    words = jax.lax.bitcast_convert_type(row[..., 4:8], jnp.uint32)  # [...,4]
+
+    # per-word prefix lengths within the block: p_w = clip(off - 16w, 0, 16)
+    w_ids = jnp.arange(4, dtype=jnp.int32)
+    p = jnp.clip(off[..., None] - 16 * w_ids, 0, 16)          # [..., 4]
+    two_p = (2 * p).astype(jnp.uint32)
+    mask = jnp.where(
+        p >= 16,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << two_p) - jnp.uint32(1),
+    )                                                          # [..., 4]
+
+    pat = jnp.asarray(_EQ_PAT)                                 # [4]
+    x = words[..., None, :] ^ pat[:, None]                     # [..., 4c, 4w]
+    neq_bits = (x | (x >> 1)) & jnp.uint32(0x55555555)
+    neq = jax.lax.population_count(neq_bits & mask[..., None, :])
+    neq_tot = jnp.sum(neq.astype(jnp.int32), axis=-1)          # [..., 4c]
+    eq_tot = off[..., None] - neq_tot                          # p.sum() == off
+    return counts + eq_tot
+
+
+def backward_ext_all(di: DeviceIndex, ik: BiInterval,
+                     is_back: bool) -> BiInterval:
+    """Extend the bi-interval by every base at once.
+
+    is_back=True: prepend base b to the pattern (backward search step).
+    is_back=False: append base b (forward step, via the revcomp interval).
+    Returns BiInterval with trailing axis 4 (one per base b in 0..3).
+    Semantics follow the classic bidirectional extension (the reference's
+    backwardExt / bwa's bwt_extend).
+    """
+    kk = ik.k if is_back else ik.l
+    ll = ik.l if is_back else ik.k
+
+    occ_k = occ4(di.cp, di.primary, kk)            # [..., 4]
+    occ_ks = occ4(di.cp, di.primary, kk + ik.s)    # [..., 4]
+    s_b = occ_ks - occ_k
+    k_b = di.L2[0:4] + occ_k
+
+    # sentinel row inside [kk, kk+s) consumes one slot of the co-interval
+    sent = ((kk <= di.primary) & (di.primary < kk + ik.s)).astype(jnp.int32)
+    l3 = ll + sent
+    l2 = l3 + s_b[..., 3]
+    l1 = l2 + s_b[..., 2]
+    l0 = l1 + s_b[..., 1]
+    l_b = jnp.stack([l0, l1, l2, l3], axis=-1)
+
+    if is_back:
+        return BiInterval(k=k_b, l=l_b, s=s_b)
+    return BiInterval(k=l_b, l=k_b, s=s_b)
+
+
+def set_intv(di: DeviceIndex, c: jax.Array) -> BiInterval:
+    """Initial bi-interval for a single base c (0..3); c is clipped, callers
+    must mask ambiguous bases themselves."""
+    c = jnp.clip(c, 0, 3).astype(jnp.int32)
+    k = di.L2[c]
+    s = di.L2[c + 1] - di.L2[c]
+    l = di.L2[3 - c]
+    return BiInterval(k=k, l=l, s=s)
+
+
+def sa_lookup(di: DeviceIndex, r: jax.Array) -> jax.Array:
+    """Suffix-array positions for rows r (int32 [...])."""
+    return di.sa[r]
+
+
+def fetch_ref_batch(di: DeviceIndex, pos: jax.Array) -> jax.Array:
+    """Reference codes at positions in 2*l_pac space (device gather from the
+    2-bit packed forward reference).  Out-of-range positions return 4."""
+    in_range = (pos >= 0) & (pos < 2 * di.l_pac)
+    fwd = pos < di.l_pac
+    p = jnp.where(fwd, pos, 2 * di.l_pac - 1 - pos)
+    p = jnp.clip(p, 0, di.l_pac - 1)
+    w = di.pac_words[p >> 4]
+    code = (w >> ((p & 15).astype(jnp.uint32) * 2)) & 3
+    code = code.astype(jnp.int32)
+    code = jnp.where(fwd, code, 3 - code)
+    return jnp.where(in_range, code, 4)
