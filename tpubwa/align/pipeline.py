@@ -1,0 +1,159 @@
+"""End-to-end alignment pipeline: FASTQ -> device seeding/extension -> host
+chaining/finalization -> SAM.
+
+Reference analog: fastmap.cpp's 3-stage kt_pipeline (SURVEY.md §3.1).  The
+TPU shape: per read-batch, the hot phases run as fixed-shape device calls
+(SMEM seeding, SA expansion, lockstep extension rounds); chaining and SAM
+construction run on host.  Phase timers mirror the reference's breakdown
+(SMEM / SAL / CHAIN / BSW / SAM / IO — SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+import tpubwa
+from tpubwa.align import chain as chainmod
+from tpubwa.align import finalize
+from tpubwa.align.region import extend_read, run_extension_rounds
+from tpubwa.config import MemOptions
+from tpubwa.index.fmindex import FMIndex
+from tpubwa.io.fastq import batch_reads, read_fastq
+from tpubwa.io.sam import sam_header
+from tpubwa.utils.timers import PhaseTimers
+
+
+class Aligner:
+    """Holds the loaded index (host + device) and aligns read batches."""
+
+    def __init__(self, idx: FMIndex, opt: MemOptions | None = None):
+        import jax.numpy as jnp  # noqa: F401
+
+        from tpubwa.ops.extend import extend_batch
+        from tpubwa.ops.fm import DeviceIndex
+        from tpubwa.ops.seeds import smems_to_seeds
+        from tpubwa.ops.smem import collect_smems_batch
+
+        self.idx = idx
+        self.opt = opt or MemOptions()
+        self.di = DeviceIndex.from_host(idx)
+        self.mat = self.opt.score_matrix()
+        self.contig_offsets = np.array([c.offset for c in idx.contigs],
+                                       dtype=np.int64)
+        self._collect = collect_smems_batch
+        self._expand = smems_to_seeds
+        self._extend = extend_batch
+        self.timers = PhaseTimers()
+
+    # ------------------------------------------------ device seeding ----
+
+    def seed_batch(self, codes: np.ndarray, lens: np.ndarray):
+        """Device: SMEMs + seed expansion for a fixed-shape read batch."""
+        import jax.numpy as jnp
+
+        opt = self.opt
+        with self.timers.phase("SMEM"):
+            sm = self._collect(
+                self.di, jnp.asarray(codes, jnp.int32), jnp.asarray(lens),
+                min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+                split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+                cap=48, out_cap=opt.max_smems_per_read)
+        with self.timers.phase("SAL"):
+            sb = self._expand(self.di, sm, max_occ=opt.max_occ,
+                              out_seeds=opt.max_seeds_per_read)
+            rbeg = np.asarray(sb.rbeg)
+            qbeg = np.asarray(sb.qbeg)
+            slen = np.asarray(sb.len)
+            valid = np.asarray(sb.valid)
+            l_rep = np.asarray(sb.l_rep)
+        return rbeg, qbeg, slen, valid, l_rep
+
+    # ------------------------------------------------ host chaining ----
+
+    def chain_batch(self, rbeg, qbeg, slen, valid, l_rep, lens):
+        opt = self.opt
+        chains_per_read = []
+        with self.timers.phase("CHAIN"):
+            for b in range(rbeg.shape[0]):
+                if lens[b] < opt.min_seed_len:
+                    chains_per_read.append([])
+                    continue
+                seeds = [
+                    chainmod.Seed(int(rbeg[b, t]), int(qbeg[b, t]),
+                                  int(slen[b, t]), int(slen[b, t]))
+                    for t in np.flatnonzero(valid[b])
+                ]
+                chains = chainmod.chain_read(
+                    opt, self.idx.l_pac, self.contig_offsets, seeds,
+                    int(lens[b]), int(l_rep[b]))
+                chains_per_read.append(chainmod.filter_chains(opt, chains))
+        return chains_per_read
+
+    # ------------------------------------------------ extension ----
+
+    def extend_batch_rounds(self, codes, lens, chains_per_read):
+        opt = self.opt
+        with self.timers.phase("BSW"):
+            gens = [
+                extend_read(opt, self.idx.l_pac, self.idx.fetch_ref,
+                            int(lens[b]), codes[b, : lens[b]],
+                            chains_per_read[b])
+                for b in range(len(chains_per_read))
+            ]
+            regs = run_extension_rounds(gens, opt, self.mat, self._extend)
+        return regs
+
+    # ------------------------------------------------ full batch ----
+
+    def align_se_batch(self, batch, read_id0: int):
+        """Align a ReadBatch single-end; returns list[list[SamRecord]]."""
+        rbeg, qbeg, slen, valid, l_rep = self.seed_batch(
+            batch.codes, batch.lens)
+        chains = self.chain_batch(rbeg, qbeg, slen, valid, l_rep, batch.lens)
+        regs = self.extend_batch_rounds(batch.codes, batch.lens, chains)
+        out = []
+        with self.timers.phase("SAM"):
+            for b in range(batch.n):
+                query = batch.codes[b, : batch.lens[b]]
+                recs = finalize.se_records(
+                    self.opt, self.idx, batch.names[b], batch.seqs[b],
+                    batch.quals[b], query, regs[b], read_id0 + b)
+                out.append(recs)
+        return out
+
+
+def align_fastq(ref: str, fq1: str, fq2: str | None, out,
+                min_seed_len: int = 19, threads: int = 1,
+                batch_reads_n: int | None = None, batch_reads=None,
+                cmdline: str = "tpu-bwa mem") -> int:
+    """CLI entry: align FASTQ(s) against an indexed reference, write SAM."""
+    opt = MemOptions(min_seed_len=min_seed_len)
+    if batch_reads is not None:
+        opt.batch_reads = int(batch_reads)
+    if not FMIndex.exists(ref):
+        print(f"[tpu-bwa] no index for {ref}; run `tpu-bwa index` first",
+              file=sys.stderr)
+        return 1
+    idx = FMIndex.load(ref)
+    aligner = Aligner(idx, opt)
+    out.write(sam_header(idx.contigs, cmdline, tpubwa.__version__))
+
+    from tpubwa.io.fastq import batch_reads as make_batches
+
+    if fq2 is not None:
+        from tpubwa.align.pair import align_pe_fastq
+
+        return align_pe_fastq(aligner, fq1, fq2, out)
+
+    reads = list(read_fastq(fq1))
+    n_done = 0
+    for batch in make_batches(reads, opt.batch_reads, opt.max_read_len):
+        recs = aligner.align_se_batch(batch, n_done)
+        for rlist in recs:
+            for r in rlist:
+                out.write(r.line() + "\n")
+        n_done += batch.n
+        print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
+    print(aligner.timers.report(), file=sys.stderr)
+    return 0

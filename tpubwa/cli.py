@@ -35,18 +35,28 @@ def cmd_index(args) -> int:
 
 
 def cmd_mem(args) -> int:
+    import os
+
     from tpubwa.align.pipeline import align_fastq
 
-    return align_fastq(
+    for f in [args.ref, args.reads1] + ([args.reads2] if args.reads2 else []):
+        if not os.path.exists(f):
+            print(f"tpu-bwa mem: no such file: {f}", file=sys.stderr)
+            return 1
+    try:
+        return align_fastq(
         ref=args.ref,
         fq1=args.reads1,
         fq2=args.reads2,
-        out=sys.stdout,
-        min_seed_len=args.k,
-        threads=args.t,
-        batch_reads=args.batch,
-        cmdline=" ".join(sys.argv),
-    )
+            out=sys.stdout,
+            min_seed_len=args.k,
+            threads=args.t,
+            batch_reads=args.batch,
+            cmdline=" ".join(sys.argv),
+        )
+    except ValueError as e:
+        print(f"tpu-bwa mem: {e}", file=sys.stderr)
+        return 1
 
 
 def main(argv: list[str] | None = None) -> int:
