@@ -1,0 +1,510 @@
+"""Paired-end pipeline: insert-size estimation, pair scoring, mate rescue,
+paired SAM emission.
+
+Semantics of bwa-mem's bwamem_pair.c (reference: SURVEY.md §2.1
+"Pairing / SAM (bwamem_pair)" and §3.1 worker_sam): mem_pestat percentile
+insert-size model per orientation (FF/FR/RF/RR), mem_pair O(n²)-bounded
+best-pair selection with the erfc insert-size log-likelihood term, and
+mem_matesw mate rescue — here batched: per-pair rescue generators yield
+local-SW jobs that the driver runs through ops.localsw.localsw_batch in
+lockstep rounds (the reference's mem_sam_pe_batch idea, SURVEY.md HOT LOOP
+#2, re-expressed as device batches).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+
+import numpy as np
+
+from tpubwa.align import finalize
+from tpubwa.align.region import AlnReg
+from tpubwa.config import MemOptions
+from tpubwa.index.fmindex import FMIndex
+from tpubwa.io import sam as samio
+
+MIN_RATIO = 0.8
+MIN_DIR_CNT = 10
+MIN_DIR_RATIO = 0.05
+OUTLIER_BOUND = 2.0
+MAPPING_BOUND = 3.0
+MAX_STDDEV = 4.0
+M_SQRT1_2 = 1.0 / math.sqrt(2.0)
+
+
+@dataclasses.dataclass
+class PEStat:
+    low: int = 0
+    high: int = 0
+    avg: float = 0.0
+    std: float = 0.0
+    failed: bool = True
+
+
+def infer_dir(l_pac: int, b1: int, b2: int) -> tuple[int, int]:
+    """(dist, dir) with dir 0=FF 1=FR 2=RF 3=RR (mem_infer_dir)."""
+    r1, r2 = b1 >= l_pac, b2 >= l_pac
+    p2 = b2 if r1 == r2 else (l_pac << 1) - 1 - b2
+    d = (0 if r1 == r2 else 1) ^ (0 if p2 > b1 else 3)
+    return abs(p2 - b1), d
+
+
+def cal_sub(opt: MemOptions, regs: list[AlnReg]) -> int:
+    for j in range(1, len(regs)):
+        b_max = max(regs[j].qb, regs[0].qb)
+        e_min = min(regs[j].qe, regs[0].qe)
+        if e_min > b_max:
+            min_l = min(regs[j].qe - regs[j].qb, regs[0].qe - regs[0].qb)
+            if e_min - b_max >= min_l * opt.mask_level:
+                return regs[j].score
+    return opt.min_seed_len * opt.a
+
+
+def pestat(opt: MemOptions, l_pac: int,
+           reg_pairs: list[tuple[list[AlnReg], list[AlnReg]]]
+           ) -> list[PEStat]:
+    """mem_pestat: infer the insert-size distribution per orientation from
+    confidently, uniquely mapped pairs."""
+    isize = [[], [], [], []]
+    for r0, r1 in reg_pairs:
+        if not r0 or not r1:
+            continue
+        if cal_sub(opt, r0) > MIN_RATIO * r0[0].score:
+            continue
+        if cal_sub(opt, r1) > MIN_RATIO * r1[0].score:
+            continue
+        dist, d = infer_dir(l_pac, r0[0].rb, r1[0].rb)
+        if 0 < dist <= opt.max_ins:
+            isize[d].append(dist)
+    pes = [PEStat() for _ in range(4)]
+    max_cnt = max(len(x) for x in isize)
+    for d in range(4):
+        q = sorted(isize[d])
+        r = pes[d]
+        if len(q) < MIN_DIR_CNT or len(q) < MIN_DIR_RATIO * max_cnt:
+            continue
+        p25 = q[int(0.25 * len(q) + 0.499)]
+        p50 = q[int(0.50 * len(q) + 0.499)]
+        p75 = q[int(0.75 * len(q) + 0.499)]
+        low = max(int(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499), 1)
+        high = int(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499)
+        vals = [x for x in q if low <= x <= high]
+        if not vals:
+            continue
+        avg = sum(vals) / len(vals)
+        std = math.sqrt(sum((x - avg) ** 2 for x in vals) / len(vals))
+        r.avg, r.std = avg, std
+        r.low = int(p25 - MAPPING_BOUND * (p75 - p25) + 0.499)
+        r.high = int(p75 + MAPPING_BOUND * (p75 - p25) + 0.499)
+        if r.low > avg - MAX_STDDEV * std:
+            r.low = int(avg - MAX_STDDEV * std + 0.499)
+        if r.high < avg + MAX_STDDEV * std:
+            r.high = int(avg + MAX_STDDEV * std + 0.499)
+        r.low = max(r.low, 1)
+        r.failed = False
+        print(f"[tpu-bwa][PE] dir {'FF FR RF RR'.split()[d]}: n={len(q)} "
+              f"p50={p50} avg={avg:.2f} std={std:.2f} "
+              f"low={r.low} high={r.high}", file=sys.stderr)
+    return pes
+
+
+def raw_mapq(diff: int, a: int) -> int:
+    return int(6.02 * diff / a + 0.499)
+
+
+def mem_pair(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
+             regs: tuple[list[AlnReg], list[AlnReg]], pair_id: int
+             ) -> tuple[int, int, int, list[int]]:
+    """Best proper pair (o, subo, n_sub, z[2]); o == 0 means none."""
+    l_pac = idx.l_pac
+    v = []
+    for r in range(2):
+        for i, e in enumerate(regs[r]):
+            fwd = e.rb if e.rb < l_pac else (l_pac << 1) - 1 - e.rb
+            x = (e.rid << 32) | int(fwd - idx.contigs[e.rid].offset)
+            y = (e.score << 32) | (i << 2) | ((e.rb >= l_pac) << 1) | r
+            v.append((x, y))
+    v.sort()
+    y_last = [-1, -1, -1, -1]
+    u = []
+    for i in range(len(v)):
+        for r in range(2):
+            d = (r << 1) | ((v[i][1] >> 1) & 1)
+            if pes[d].failed:
+                continue
+            which = (r << 1) | ((v[i][1] & 1) ^ 1)
+            if y_last[which] < 0:
+                continue
+            for k in range(y_last[which], -1, -1):
+                if (v[k][1] & 3) != which:
+                    continue
+                dist = v[i][0] - v[k][0]
+                if dist > pes[d].high:
+                    break
+                if dist < pes[d].low:
+                    continue
+                ns = (dist - pes[d].avg) / pes[d].std
+                q = int((v[i][1] >> 32) + (v[k][1] >> 32)
+                        + 0.721 * math.log(
+                            2.0 * math.erfc(abs(ns) * M_SQRT1_2)) * opt.a
+                        + 0.499)
+                q = max(q, 0)
+                pair_y = (k << 32) | i
+                h = finalize.hash_64(
+                    (pair_y ^ (pair_id << 8)) & ((1 << 64) - 1)) & 0xFFFFFFFF
+                u.append(((q << 32) | h, pair_y))
+        y_last[v[i][1] & 3] = i
+    if not u:
+        return 0, 0, 0, [0, 0]
+    u.sort()
+    tmp = max(opt.a + opt.b, opt.o_del + opt.e_del, opt.o_ins + opt.e_ins)
+    best_x, best_y = u[-1]
+    i = best_y >> 32
+    k = best_y & 0xFFFFFFFF
+    z = [0, 0]
+    z[v[i][1] & 1] = (v[i][1] >> 2) & 0x3FFFFFFF
+    z[v[k][1] & 1] = (v[k][1] >> 2) & 0x3FFFFFFF
+    o = best_x >> 32
+    sub = (u[-2][0] >> 32) if len(u) > 1 else 0
+    n_sub = sum(1 for x, _ in u[:-1] if (x >> 32) >= o - tmp)
+    return o, sub, n_sub, z
+
+
+# ---------------------------------------------------------- mate rescue ----
+
+@dataclasses.dataclass
+class SWJob:
+    query: np.ndarray
+    target: np.ndarray
+    minsc: int
+    endsc: int
+
+
+def matesw_gen(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
+               a: AlnReg, l_ms: int, ms: np.ndarray, ma: list[AlnReg]):
+    """Generator for one anchor region: yields SWJob, expects LocalSW result
+    tuples (score, te, qe, score2); inserts rescued regions into ma.
+    Returns the number of rescue attempts performed."""
+    l_pac = idx.l_pac
+    skip = [p.failed for p in pes]
+    for reg in ma:
+        dist, r = infer_dir(l_pac, a.rb, reg.rb)
+        if pes[r].low <= dist <= pes[r].high:
+            skip[r] = True
+    if all(skip):
+        return 0
+    n = 0
+    for r in range(4):
+        if skip[r]:
+            continue
+        is_rev = (r >> 1) != (r & 1)
+        is_larger = not (r >> 1)
+        if is_rev:
+            seq = np.where(ms < 4, 3 - ms, 4)[::-1].astype(np.uint8)
+        else:
+            seq = ms
+        if not is_rev:
+            rb = a.rb + pes[r].low if is_larger else a.rb - pes[r].high
+            re = (a.rb + pes[r].high if is_larger
+                  else a.rb - pes[r].low) + l_ms
+        else:
+            rb = (a.rb + pes[r].low if is_larger
+                  else a.rb - pes[r].high) - l_ms
+            re = a.rb + pes[r].high if is_larger else a.rb - pes[r].low
+        rb = max(rb, 0)
+        re = min(re, l_pac << 1)
+        if rb >= re:
+            continue
+        # trim [rb, re) to the contig (and strand half) containing mid
+        mid = (rb + re) >> 1
+        m_rev = mid >= l_pac
+        fwd_mid = (l_pac << 1) - 1 - mid if m_rev else mid
+        rid = idx.pos_to_rid(fwd_mid)
+        far_beg = idx.contigs[rid].offset
+        far_end = far_beg + idx.contigs[rid].length
+        if m_rev:
+            far_beg, far_end = ((l_pac << 1) - far_end,
+                                (l_pac << 1) - idx.contigs[rid].offset)
+        rb = max(rb, far_beg)
+        re = min(re, far_end)
+        if a.rid == rid and re - rb >= opt.min_seed_len:
+            ref = idx.fetch_ref(rb, re)
+            minsc = opt.min_seed_len * opt.a
+            res = yield SWJob(seq, ref, minsc, 1 << 30)
+            score, te, qe, score2 = res
+            if score >= opt.min_seed_len and qe >= 0:
+                res2 = yield SWJob(seq[: qe + 1][::-1].copy(),
+                                   ref[: te + 1][::-1].copy(), minsc, score)
+                _, te2, qe2, _ = res2
+                qb = qe - qe2
+                tb = te - te2
+                b = AlnReg()
+                b.rid = a.rid
+                b.qb = l_ms - (qe + 1) if is_rev else qb
+                b.qe = l_ms - qb if is_rev else qe + 1
+                b.rb = ((l_pac << 1) - (rb + te + 1)) if is_rev else rb + tb
+                b.re = ((l_pac << 1) - (rb + tb)) if is_rev else rb + te + 1
+                b.score = score
+                b.truesc = score
+                b.csub = score2
+                b.secondary = -1
+                b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
+                b.w = opt.w
+                b.frac_rep = a.frac_rep
+                # insert keeping ma sorted by score desc
+                pos = len(ma)
+                for i2 in range(len(ma)):
+                    if ma[i2].score < b.score:
+                        pos = i2
+                        break
+                ma.insert(pos, b)
+            n += 1
+        if n:
+            break
+    return n
+
+
+def run_matesw_rounds(opt: MemOptions, gens: list, localsw_fn, mat,
+                      q_pad: int = 192, t_pad: int = 1024) -> int:
+    """Drive rescue generators in lockstep batched rounds."""
+    import jax.numpy as jnp
+
+    n_gen = len(gens)
+    pending: list[SWJob | None] = [None] * n_gen
+    live = set()
+    total = 0
+    for i, g in enumerate(gens):
+        try:
+            pending[i] = next(g)
+            live.add(i)
+        except StopIteration as e:
+            total += e.value or 0
+    mat_j = jnp.asarray(mat)
+    while live:
+        idxs = sorted(live)
+        q = np.full((n_gen, q_pad), 4, np.int32)
+        t = np.full((n_gen, t_pad), 4, np.int32)
+        qlen = np.zeros(n_gen, np.int32)
+        tlen = np.zeros(n_gen, np.int32)
+        minsc = np.zeros(n_gen, np.int32)
+        endsc = np.full(n_gen, 1 << 30, np.int32)
+        for i in idxs:
+            job = pending[i]
+            nq = min(len(job.query), q_pad)
+            nt = min(len(job.target), t_pad)
+            q[i, :nq] = job.query[:nq]
+            t[i, :nt] = job.target[:nt]
+            qlen[i] = nq
+            tlen[i] = nt
+            minsc[i] = job.minsc
+            endsc[i] = job.endsc
+        res = localsw_fn(
+            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+            jnp.asarray(tlen), mat_j, jnp.asarray(minsc),
+            jnp.asarray(endsc), o_del=opt.o_del, e_del=opt.e_del,
+            o_ins=opt.o_ins, e_ins=opt.e_ins)
+        score = np.asarray(res.score)
+        te = np.asarray(res.te)
+        qe = np.asarray(res.qe)
+        score2 = np.asarray(res.score2)
+        for i in idxs:
+            tup = (int(score[i]), int(te[i]), int(qe[i]), int(score2[i]))
+            try:
+                pending[i] = gens[i].send(tup)
+            except StopIteration as e:
+                total += e.value or 0
+                live.discard(i)
+    return total
+
+
+# ------------------------------------------------------------- sam_pe ----
+
+def sam_pe(opt: MemOptions, idx: FMIndex, pes: list[PEStat], pair_id: int,
+           names: tuple[str, str], seqs: tuple[str, str],
+           quals: tuple[str, str], queries: tuple[np.ndarray, np.ndarray],
+           regs: tuple[list[AlnReg], list[AlnReg]]
+           ) -> tuple[list[samio.SamRecord], list[samio.SamRecord]]:
+    """mem_sam_pe minus the rescue step (rescue runs batched beforehand)."""
+    a = [finalize.mark_primary(opt, regs[0], (pair_id << 1) | 0),
+         finalize.mark_primary(opt, regs[1], (pair_id << 1) | 1)]
+    extra_flag = 1
+    o = 0
+    if a[0] and a[1]:
+        o, subo, n_sub, z = mem_pair(opt, idx, pes, (a[0], a[1]), pair_id)
+    if a[0] and a[1] and o > 0:
+        # multiple good hits on either end -> fall through to SE-style
+        is_multi = [
+            any(p.secondary < 0 and p.score >= opt.T for p in end[1:])
+            for end in a]
+        if not (is_multi[0] or is_multi[1]):
+            score_un = a[0][0].score + a[1][0].score - opt.pen_unpaired
+            subo = max(subo, score_un)
+            q_pe = raw_mapq(o - subo, opt.a)
+            if n_sub > 0:
+                q_pe -= int(4.343 * math.log(n_sub + 1) + 0.499)
+            q_pe = min(max(q_pe, 0), 60)
+            q_pe = int(q_pe * (1.0 - 0.5 * (a[0][0].frac_rep
+                                            + a[1][0].frac_rep)) + 0.499)
+            if o > score_un:  # paired alignment preferred
+                c = [a[0][z[0]], a[1][z[1]]]
+                q_se = [0, 0]
+                for i in range(2):
+                    if c[i].secondary >= 0:
+                        c[i].sub = a[i][c[i].secondary].score
+                        c[i].secondary = -2
+                    q_se[i] = finalize.approx_mapq_se(opt, c[i])
+                for i in range(2):
+                    if q_se[i] < q_pe:
+                        q_se[i] = min(q_pe, q_se[i] + 40)
+                    q_se[i] = min(q_se[i],
+                                  raw_mapq(c[i].score - c[i].csub, opt.a))
+                extra_flag |= 2
+            else:
+                z = [0, 0]
+                c = [a[0][0], a[1][0]]
+                q_se = [finalize.approx_mapq_se(opt, c[0]),
+                        finalize.approx_mapq_se(opt, c[1])]
+            h = []
+            for i in range(2):
+                aln = finalize.reg2aln(opt, idx, len(seqs[i]), queries[i],
+                                       c[i])
+                aln.mapq = q_se[i]
+                aln.flag |= (0x40 << i) | extra_flag
+                xa = finalize.gen_xa(opt, idx, a[i], len(seqs[i]),
+                                     queries[i])
+                aln.XA = xa.get(z[i])
+                h.append(aln)
+            rec0 = finalize.aln2sam(opt, idx, names[0], seqs[0], quals[0],
+                                    1, [h[0]], 0, mate=h[1])
+            rec1 = finalize.aln2sam(opt, idx, names[1], seqs[1], quals[1],
+                                    1, [h[1]], 0, mate=h[0])
+            return [rec0], [rec1]
+
+    # ---- no pairing: output each end SE-style, with mate info ----
+    h = []
+    for i in range(2):
+        if a[i] and a[i][0].score >= opt.T:
+            h.append(finalize.reg2aln(opt, idx, len(seqs[i]), queries[i],
+                                      a[i][0]))
+        else:
+            h.append(finalize.reg2aln(opt, idx, len(seqs[i]), queries[i],
+                                      None))
+    if a[0] and a[1] and h[0].rid == h[1].rid and h[0].rid >= 0:
+        dist, d = infer_dir(idx.l_pac, a[0][0].rb, a[1][0].rb)
+        if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
+            extra_flag |= 2
+    out = ([], [])
+    for i in range(2):
+        recs = pe_end_records(opt, idx, names[i], seqs[i], quals[i],
+                              queries[i], a[i],
+                              (0x40 << i) | extra_flag, h[1 - i])
+        out[i].extend(recs)
+    return out
+
+
+def pe_end_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
+                   qual: str, query: np.ndarray, regs: list[AlnReg],
+                   extra_flag: int, mate: finalize.Aln
+                   ) -> list[samio.SamRecord]:
+    """mem_reg2sam for one end of an unpaired pair (regs already marked)."""
+    xa = finalize.gen_xa(opt, idx, regs, len(seq), query)
+    alns = []
+    for k, p in enumerate(regs):
+        if p.score < opt.T:
+            continue
+        if p.secondary >= 0:
+            continue
+        q = finalize.reg2aln(opt, idx, len(seq), query, p)
+        q.XA = xa.get(k)
+        if alns:
+            q.flag |= samio.FLAG_SUPPLEMENTARY
+            if q.mapq > alns[0].mapq:
+                q.mapq = alns[0].mapq
+        q.flag |= extra_flag
+        alns.append(q)
+    if not alns:
+        t = finalize.reg2aln(opt, idx, len(seq), query, None)
+        t.flag |= extra_flag
+        return [finalize.aln2sam(opt, idx, name, seq, qual, 1, [t], 0,
+                                 mate=mate)]
+    return [finalize.aln2sam(opt, idx, name, seq, qual, len(alns), alns, k,
+                             mate=mate)
+            for k in range(len(alns))]
+
+
+# --------------------------------------------------------- PE driver ----
+
+def align_pe_fastq(aligner, fq1: str, fq2: str, out) -> int:
+    from tpubwa.io.fastq import batch_reads, read_fastq
+    from tpubwa.ops.localsw import localsw_batch
+
+    opt = aligner.opt
+    idx = aligner.idx
+    r1 = list(read_fastq(fq1))
+    r2 = list(read_fastq(fq2))
+    if len(r1) != len(r2):
+        print("tpu-bwa mem: paired FASTQ files differ in read count",
+              file=sys.stderr)
+        return 1
+    n_done = 0
+    bs = opt.batch_reads
+    for start in range(0, len(r1), bs):
+        c1 = r1[start : start + bs]
+        c2 = r2[start : start + bs]
+        b1 = next(batch_reads(c1, bs, opt.max_read_len))
+        b2 = next(batch_reads(c2, bs, opt.max_read_len))
+        regs1 = _se_regions(aligner, b1)
+        regs2 = _se_regions(aligner, b2)
+        # dedup/sort before pairing (mem_align1_core does this)
+        regs1 = [finalize.sort_dedup_patch(
+            opt, idx, b1.codes[i, : b1.lens[i]], r)
+            for i, r in enumerate(regs1)]
+        regs2 = [finalize.sort_dedup_patch(
+            opt, idx, b2.codes[i, : b2.lens[i]], r)
+            for i, r in enumerate(regs2)]
+        pairs = list(zip(regs1, regs2))
+        with aligner.timers.phase("PAIR"):
+            pes = pestat(opt, idx.l_pac, pairs)
+            # mate rescue (batched)
+            gens = []
+            for i in range(b1.n):
+                for end in range(2):
+                    regs_a = pairs[i][end]
+                    regs_m = pairs[i][1 - end]
+                    if not regs_a:
+                        continue
+                    mate_b = (b2 if end == 0 else b1)
+                    ms = mate_b.codes[i, : mate_b.lens[i]]
+                    cand = [p for p in regs_a
+                            if p.score >= regs_a[0].score - opt.pen_unpaired]
+                    for p in cand[: opt.max_matesw]:
+                        gens.append(matesw_gen(opt, idx, pes, p,
+                                               int(mate_b.lens[i]), ms,
+                                               regs_m))
+            if gens:
+                run_matesw_rounds(opt, gens, localsw_batch, aligner.mat)
+        with aligner.timers.phase("SAM"):
+            for i in range(b1.n):
+                recs0, recs1 = sam_pe(
+                    opt, idx, pes, (n_done >> 1) + i,
+                    (b1.names[i], b2.names[i]),
+                    (b1.seqs[i], b2.seqs[i]),
+                    (b1.quals[i], b2.quals[i]),
+                    (b1.codes[i, : b1.lens[i]], b2.codes[i, : b2.lens[i]]),
+                    pairs[i])
+                for r in recs0:
+                    out.write(r.line() + "\n")
+                for r in recs1:
+                    out.write(r.line() + "\n")
+        n_done += 2 * b1.n
+        print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
+    print(aligner.timers.report(), file=sys.stderr)
+    return 0
+
+
+def _se_regions(aligner, batch):
+    rbeg, qbeg, slen, valid, l_rep = aligner.seed_batch(
+        batch.codes, batch.lens)
+    chains = aligner.chain_batch(rbeg, qbeg, slen, valid, l_rep, batch.lens)
+    return aligner.extend_batch_rounds(batch.codes, batch.lens, chains)
