@@ -144,60 +144,37 @@ def make_reads(idx, rng, n, L, err=0.03):
     return reads
 
 
-def test_device_smem1_matches_scalar(idx, rng):
+def test_chain_collect_matches_scalar(idx, rng):
+    """The chain-structured SMEM engine (the production seeding path) is
+    exactly equal to the scalar reference across all three rounds."""
     import jax.numpy as jnp
 
     from tpubwa.ops.fm import DeviceIndex
-    from tpubwa.ops.smem import smem1_batch
+    from tpubwa.ops.smem_chain import collect_smems_chain
 
     di = DeviceIndex.from_host(idx)
-    B, L = 16, 40
-    reads = make_reads(idx, rng, B, L, err=0.05)
-    lens = np.full(B, L, dtype=np.int32)
-    lens[-1] = 25  # one short read
-    for x0 in [0, 7, 24]:
-        x = np.full(B, x0, dtype=np.int32)
-        ret, sm = smem1_batch(
-            DeviceIndex.from_host(idx), jnp.asarray(reads, jnp.int32),
-            jnp.asarray(lens), jnp.asarray(x),
-            jnp.ones(B, jnp.int32), jnp.ones(B, bool), cap=48)
-        ret = np.asarray(ret)
+    for trial, (B, L, err, msl, sl, sw, mmi) in enumerate([
+            (12, 50, 0.04, 10, 15, 10, 20),
+            (16, 70, 0.02, 12, 18, 12, 25),
+            (8, 40, 0.10, 8, 12, 10, 0),      # round 3 disabled
+            (8, 60, 0.0, 10, 15, 10, 20),     # error-free (long SMEMs)
+    ]):
+        reads = make_reads(idx, rng, B, L, err=err)
+        reads[1, 5:9] = 4  # an N run
+        lens = np.full(B, L, dtype=np.int32)
+        lens[-1] = max(L - 17, 12)
+        sm = collect_smems_chain(
+            di, jnp.asarray(reads, jnp.int32), jnp.asarray(lens),
+            min_seed_len=msl, split_len=sl, split_width=sw,
+            max_mem_intv=mmi, out_cap=64)
         n = np.asarray(sm.n)
+        assert not np.asarray(sm.overflow).any()
         for b in range(B):
-            want_ret, want = fm_ref.smem1(idx, reads[b], int(lens[b]), x0, 1)
-            if x0 >= lens[b]:
-                continue
-            assert ret[b] == want_ret, b
-            assert n[b] == len(want), (b, n[b], len(want))
+            want = fm_ref.collect_smems(
+                idx, reads[b], int(lens[b]), min_seed_len=msl, split_len=sl,
+                split_width=sw, max_mem_intv=mmi)
+            assert n[b] == len(want), (trial, b, n[b], len(want))
             for j, m in enumerate(want):
                 got = (int(sm.k[b, j]), int(sm.l[b, j]), int(sm.s[b, j]),
                        int(sm.start[b, j]), int(sm.end[b, j]))
-                assert got == (m.k, m.l, m.s, m.start, m.end), (b, j)
-
-
-def test_device_collect_matches_scalar(idx, rng):
-    import jax.numpy as jnp
-
-    from tpubwa.ops.fm import DeviceIndex
-    from tpubwa.ops.smem import collect_smems_batch
-
-    di = DeviceIndex.from_host(idx)
-    B, L = 12, 50
-    reads = make_reads(idx, rng, B, L, err=0.04)
-    reads[3, 10:14] = 4  # an N run
-    lens = np.full(B, L, dtype=np.int32)
-    sm = collect_smems_batch(
-        di, jnp.asarray(reads, jnp.int32), jnp.asarray(lens),
-        min_seed_len=10, split_len=15, split_width=10, max_mem_intv=20,
-        cap=48, out_cap=64)
-    n = np.asarray(sm.n)
-    assert not np.asarray(sm.overflow).any()
-    for b in range(B):
-        want = fm_ref.collect_smems(
-            idx, reads[b], L, min_seed_len=10, split_len=15,
-            split_width=10, max_mem_intv=20)
-        assert n[b] == len(want), (b, n[b], len(want))
-        for j, m in enumerate(want):
-            got = (int(sm.k[b, j]), int(sm.l[b, j]), int(sm.s[b, j]),
-                   int(sm.start[b, j]), int(sm.end[b, j]))
-            assert got == (m.k, m.l, m.s, m.start, m.end), (b, j)
+                assert got == (m.k, m.l, m.s, m.start, m.end), (trial, b, j)

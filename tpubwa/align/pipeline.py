@@ -33,7 +33,7 @@ class Aligner:
         from tpubwa.ops.extend import extend_batch
         from tpubwa.ops.fm import DeviceIndex
         from tpubwa.ops.seeds import smems_to_seeds
-        from tpubwa.ops.smem import collect_smems_batch
+        from tpubwa.ops.smem_chain import collect_smems_chain
 
         self.idx = idx
         self.opt = opt or MemOptions()
@@ -41,7 +41,7 @@ class Aligner:
         self.mat = self.opt.score_matrix()
         self.contig_offsets = np.array([c.offset for c in idx.contigs],
                                        dtype=np.int64)
-        self._collect = collect_smems_batch
+        self._collect = collect_smems_chain
         self._expand = smems_to_seeds
         self._extend = extend_batch
         self.timers = PhaseTimers()
@@ -58,7 +58,7 @@ class Aligner:
                 self.di, jnp.asarray(codes, jnp.int32), jnp.asarray(lens),
                 min_seed_len=opt.min_seed_len, split_len=opt.split_len,
                 split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-                cap=48, out_cap=opt.max_smems_per_read)
+                out_cap=opt.max_smems_per_read)
         with self.timers.phase("SAL"):
             sb = self._expand(self.di, sm, max_occ=opt.max_occ,
                               out_seeds=opt.max_seeds_per_read)

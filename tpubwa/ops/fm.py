@@ -88,6 +88,27 @@ def occ4(cp: jax.Array, primary: jax.Array, i: jax.Array) -> jax.Array:
     return counts + eq_tot
 
 
+def ext_core(di: DeviceIndex, kk: jax.Array, ll: jax.Array,
+             s: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Raw bidirectional extension math on an explicit (kk, ll, s) pair:
+    the backward-prepend update.  Returns (k_b, l_b, s_b), each [..., 4].
+    Callers express forward (append) steps by swapping k/l on the way in
+    and out (the classic bidirectional-index trick)."""
+    occ_k = occ4(di.cp, di.primary, kk)            # [..., 4]
+    occ_ks = occ4(di.cp, di.primary, kk + s)       # [..., 4]
+    s_b = occ_ks - occ_k
+    k_b = di.L2[0:4] + occ_k
+
+    # sentinel row inside [kk, kk+s) consumes one slot of the co-interval
+    sent = ((kk <= di.primary) & (di.primary < kk + s)).astype(jnp.int32)
+    l3 = ll + sent
+    l2 = l3 + s_b[..., 3]
+    l1 = l2 + s_b[..., 2]
+    l0 = l1 + s_b[..., 1]
+    l_b = jnp.stack([l0, l1, l2, l3], axis=-1)
+    return k_b, l_b, s_b
+
+
 def backward_ext_all(di: DeviceIndex, ik: BiInterval,
                      is_back: bool) -> BiInterval:
     """Extend the bi-interval by every base at once.
@@ -100,20 +121,7 @@ def backward_ext_all(di: DeviceIndex, ik: BiInterval,
     """
     kk = ik.k if is_back else ik.l
     ll = ik.l if is_back else ik.k
-
-    occ_k = occ4(di.cp, di.primary, kk)            # [..., 4]
-    occ_ks = occ4(di.cp, di.primary, kk + ik.s)    # [..., 4]
-    s_b = occ_ks - occ_k
-    k_b = di.L2[0:4] + occ_k
-
-    # sentinel row inside [kk, kk+s) consumes one slot of the co-interval
-    sent = ((kk <= di.primary) & (di.primary < kk + ik.s)).astype(jnp.int32)
-    l3 = ll + sent
-    l2 = l3 + s_b[..., 3]
-    l1 = l2 + s_b[..., 2]
-    l0 = l1 + s_b[..., 1]
-    l_b = jnp.stack([l0, l1, l2, l3], axis=-1)
-
+    k_b, l_b, s_b = ext_core(di, kk, ll, ik.s)
     if is_back:
         return BiInterval(k=k_b, l=l_b, s=s_b)
     return BiInterval(k=l_b, l=k_b, s=s_b)
