@@ -12,11 +12,12 @@ import math
 
 import numpy as np
 
+from tpubwa.align.cigar_batch import GAJob
 from tpubwa.align.region import AlnReg
 from tpubwa.config import MemOptions
 from tpubwa.index.fmindex import FMIndex
 from tpubwa.io import sam as samio
-from tpubwa.ops.global_align import cigar_nm_md, global_align
+from tpubwa.ops.global_align import cigar_nm_md
 
 PATCH_MAX_R_BW = 0.05
 PATCH_MIN_SC_RATIO = 0.90
@@ -62,13 +63,15 @@ def infer_bw(l1: int, l2: int, score: int, a: int, q: int, r: int) -> int:
     return max(w, abs(l1 - l2))
 
 
-def gen_cigar(opt: MemOptions, idx: FMIndex, query_seg: np.ndarray,
-              rb: int, re: int, w: int
-              ) -> tuple[int, list[tuple[int, int]], int, str]:
+def gen_cigar_g(opt: MemOptions, idx: FMIndex, query_seg: np.ndarray,
+                rb: int, re: int, w: int):
     """bwa_gen_cigar2: global alignment of query_seg vs ref[rb:re) (2*l_pac
     coords).  For reverse-strand regions both sequences are reversed first,
     so the returned CIGAR/MD are in SAM (genome-forward) order.
-    Returns (score, cigar, NM, MD)."""
+
+    Generator: yields one GAJob when a DP fill is needed (exact-length
+    w==0 windows are scored inline), receives (score, cigar); returns
+    (score, cigar, NM, MD)."""
     l_query = len(query_seg)
     if l_query <= 0 or rb >= re or (rb < idx.l_pac < re):
         return 0, [], -1, ""
@@ -78,8 +81,8 @@ def gen_cigar(opt: MemOptions, idx: FMIndex, query_seg: np.ndarray,
         query = query[::-1].copy()
         rseq = rseq[::-1].copy()
     rlen = re - rb
-    mat = opt.score_matrix()
     if l_query == rlen and w == 0:
+        mat = opt.score_matrix()
         score = int(mat[rseq, np.minimum(query, 4)].sum())
         cigar = [(0, l_query)]
     else:
@@ -92,18 +95,32 @@ def gen_cigar(opt: MemOptions, idx: FMIndex, query_seg: np.ndarray,
         ww = min(ww, w)
         min_w = abs(rlen - l_query) + 3
         ww = max(ww, min_w)
-        score, cigar = global_align(query, rseq, mat, opt.o_del, opt.e_del,
-                                    opt.o_ins, opt.e_ins, ww)
+        score, cigar = yield GAJob(query, rseq, ww)
     nm, md = cigar_nm_md(query, rseq, cigar)
     return score, cigar, nm, md
 
 
+def _drive_one(gen, opt: MemOptions):
+    """Run a single finalize generator to completion with the scalar DP."""
+    from tpubwa.align.cigar_batch import GAScalarExecutor
+    from tpubwa.utils.rounds import drive_rounds
+
+    return drive_rounds([gen], GAScalarExecutor(opt))[0]
+
+
+def gen_cigar(opt: MemOptions, idx: FMIndex, query_seg: np.ndarray,
+              rb: int, re: int, w: int
+              ) -> tuple[int, list[tuple[int, int]], int, str]:
+    """Synchronous gen_cigar_g (scalar DP) — correctness reference."""
+    return _drive_one(gen_cigar_g(opt, idx, query_seg, rb, re, w), opt)
+
+
 # ------------------------------------------------------- dedup + patch ----
 
-def mem_patch_reg(opt: MemOptions, idx: FMIndex, query: np.ndarray,
-                  a: AlnReg, b: AlnReg) -> tuple[int, int]:
+def mem_patch_reg_g(opt: MemOptions, idx: FMIndex, query: np.ndarray,
+                    a: AlnReg, b: AlnReg):
     """Try to bridge two colinear split regions with one global alignment.
-    Returns (score, w) — score 0 means no patch."""
+    Generator; returns (score, w) — score 0 means no patch."""
     if a.rb < idx.l_pac <= b.rb:
         return 0, 0
     if a.qb >= b.qb or a.qe >= b.qe or a.re >= b.re:
@@ -117,7 +134,8 @@ def mem_patch_reg(opt: MemOptions, idx: FMIndex, query: np.ndarray,
         return 0, 0
     w += a.w + b.w
     w = min(w, opt.w * 4)
-    score, _, _, _ = gen_cigar(opt, idx, query[a.qb:b.qe], a.rb, b.re, w)
+    score, _, _, _ = yield from gen_cigar_g(
+        opt, idx, query[a.qb:b.qe], a.rb, b.re, w)
     q_s = int((b.qe - a.qb) / ((b.qe - b.qb) + (a.qe - a.qb))
               * (b.score + a.score) + 0.499)
     r_s = int((b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb))
@@ -127,10 +145,10 @@ def mem_patch_reg(opt: MemOptions, idx: FMIndex, query: np.ndarray,
     return score, w
 
 
-def sort_dedup_patch(opt: MemOptions, idx: FMIndex, query: np.ndarray,
-                     regs: list[AlnReg]) -> list[AlnReg]:
+def sort_dedup_patch_g(opt: MemOptions, idx: FMIndex, query: np.ndarray,
+                       regs: list[AlnReg]):
     """mem_sort_dedup_patch: drop redundant overlapping regions, merge
-    colinear split regions, remove exact duplicates."""
+    colinear split regions, remove exact duplicates.  Generator."""
     n = len(regs)
     if n <= 1:
         return regs
@@ -160,7 +178,7 @@ def sort_dedup_patch(opt: MemOptions, idx: FMIndex, query: np.ndarray,
                     break
                 q.qe = q.qb  # exclude q
             elif q.rb < p.rb:
-                score, w = mem_patch_reg(opt, idx, query, q, p)
+                score, w = yield from mem_patch_reg_g(opt, idx, query, q, p)
                 if score > 0:  # merge q into p
                     p.n_comp += q.n_comp + 1
                     p.seedcov = max(p.seedcov, q.seedcov)
@@ -179,6 +197,12 @@ def sort_dedup_patch(opt: MemOptions, idx: FMIndex, query: np.ndarray,
         if p.score == q.score and p.rb == q.rb and p.qb == q.qb:
             p.qe = p.qb
     return [p for i, p in enumerate(regs) if i == 0 or p.qe > p.qb]
+
+
+def sort_dedup_patch(opt: MemOptions, idx: FMIndex, query: np.ndarray,
+                     regs: list[AlnReg]) -> list[AlnReg]:
+    """Synchronous sort_dedup_patch_g (scalar DP)."""
+    return _drive_one(sort_dedup_patch_g(opt, idx, query, regs), opt)
 
 
 # ------------------------------------------------------ primary marking ----
@@ -245,8 +269,9 @@ def approx_mapq_se(opt: MemOptions, a: AlnReg) -> int:
 
 # --------------------------------------------------------------- reg2aln ----
 
-def reg2aln(opt: MemOptions, idx: FMIndex, l_query: int, query: np.ndarray,
-            ar: AlnReg | None) -> Aln:
+def reg2aln_g(opt: MemOptions, idx: FMIndex, l_query: int,
+              query: np.ndarray, ar: AlnReg | None):
+    """mem_reg2aln as a generator (yields GAJob via gen_cigar_g)."""
     a = Aln()
     if ar is None or ar.rb < 0 or ar.re < 0:
         a.rid = -1
@@ -267,7 +292,8 @@ def reg2aln(opt: MemOptions, idx: FMIndex, l_query: int, query: np.ndarray,
     i = 0
     while True:
         w2 = min(w2, opt.w * 4)
-        score, cigar, NM, MD = gen_cigar(opt, idx, query[qb:qe], rb, re, w2)
+        score, cigar, NM, MD = yield from gen_cigar_g(
+            opt, idx, query[qb:qe], rb, re, w2)
         if score == last_sc or w2 == opt.w * 4:
             break
         last_sc = score
@@ -301,6 +327,12 @@ def reg2aln(opt: MemOptions, idx: FMIndex, l_query: int, query: np.ndarray,
     a.score = ar.score
     a.sub = max(ar.sub, ar.csub)
     return a
+
+
+def reg2aln(opt: MemOptions, idx: FMIndex, l_query: int, query: np.ndarray,
+            ar: AlnReg | None) -> Aln:
+    """Synchronous reg2aln_g (scalar DP)."""
+    return _drive_one(reg2aln_g(opt, idx, l_query, query, ar), opt)
 
 
 # --------------------------------------------------------------- aln2sam ----
@@ -420,10 +452,11 @@ def aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: str, qual: str,
 
 # ----------------------------------------------------------------- XA ----
 
-def gen_xa(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
-           l_query: int, query: np.ndarray) -> dict[int, str]:
+def gen_xa_g(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
+             l_query: int, query: np.ndarray):
     """XA strings keyed by primary region index (mem_gen_alt for non-ALT
-    references: secondary hits within XA_drop_ratio of their primary)."""
+    references: secondary hits within XA_drop_ratio of their primary).
+    Generator."""
     cnt: dict[int, int] = {}
     for i, p in enumerate(regs):
         k = p.secondary_all
@@ -436,7 +469,7 @@ def gen_xa(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
             continue
         if cnt.get(k, 0) > opt.max_XA_hits:
             continue
-        t = reg2aln(opt, idx, l_query, query, p)
+        t = yield from reg2aln_g(opt, idx, l_query, query, p)
         cig = "".join(f"{ln}{samio.CIGAR_OPS[op]}" for op, ln in t.cigar)
         s = (f"{idx.contigs[t.rid].name},"
              f"{'-' if t.is_rev else '+'}{t.pos + 1},{cig},{t.NM};")
@@ -444,20 +477,26 @@ def gen_xa(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
     return {k: "".join(v) for k, v in out.items()}
 
 
-def se_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
-               qual: str, query: np.ndarray, regs: list[AlnReg],
-               read_id: int) -> list[samio.SamRecord]:
-    """mem_reg2sam for a single-end read."""
-    regs = sort_dedup_patch(opt, idx, query, regs)
+def gen_xa(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
+           l_query: int, query: np.ndarray) -> dict[int, str]:
+    """Synchronous gen_xa_g (scalar DP)."""
+    return _drive_one(gen_xa_g(opt, idx, regs, l_query, query), opt)
+
+
+def se_records_g(opt: MemOptions, idx: FMIndex, name: str, seq: str,
+                 qual: str, query: np.ndarray, regs: list[AlnReg],
+                 read_id: int):
+    """mem_reg2sam for a single-end read.  Generator yielding GAJob."""
+    regs = yield from sort_dedup_patch_g(opt, idx, query, regs)
     regs = mark_primary(opt, regs, read_id)
-    xa = gen_xa(opt, idx, regs, len(seq), query)
+    xa = yield from gen_xa_g(opt, idx, regs, len(seq), query)
     alns: list[Aln] = []
     for k, p in enumerate(regs):
         if p.score < opt.T:
             continue
         if p.secondary >= 0:
             continue
-        q = reg2aln(opt, idx, len(seq), query, p)
+        q = yield from reg2aln_g(opt, idx, len(seq), query, p)
         q.XA = xa.get(k)
         if p.secondary >= 0:
             q.sub = -1
@@ -467,7 +506,15 @@ def se_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
             q.mapq = alns[0].mapq
         alns.append(q)
     if not alns:
-        return [aln2sam(opt, idx, name, seq, qual, 1, [reg2aln(
-            opt, idx, len(seq), query, None)], 0)]
+        t = yield from reg2aln_g(opt, idx, len(seq), query, None)
+        return [aln2sam(opt, idx, name, seq, qual, 1, [t], 0)]
     return [aln2sam(opt, idx, name, seq, qual, len(alns), alns, k)
             for k in range(len(alns))]
+
+
+def se_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
+               qual: str, query: np.ndarray, regs: list[AlnReg],
+               read_id: int) -> list[samio.SamRecord]:
+    """Synchronous se_records_g (scalar DP)."""
+    return _drive_one(
+        se_records_g(opt, idx, name, seq, qual, query, regs, read_id), opt)

@@ -304,12 +304,11 @@ def run_matesw_rounds(opt: MemOptions, gens: list, localsw_fn, mat,
             jnp.asarray(tlen), mat_j, jnp.asarray(minsc),
             jnp.asarray(endsc), o_del=opt.o_del, e_del=opt.e_del,
             o_ins=opt.o_ins, e_ins=opt.e_ins)
-        score = np.asarray(res.score)
-        te = np.asarray(res.te)
-        qe = np.asarray(res.qe)
-        score2 = np.asarray(res.score2)
+        packed = np.asarray(jnp.stack([res.score, res.te, res.qe,
+                                       res.score2]))
         for i in idxs:
-            tup = (int(score[i]), int(te[i]), int(qe[i]), int(score2[i]))
+            tup = (int(packed[0, i]), int(packed[1, i]), int(packed[2, i]),
+                   int(packed[3, i]))
             try:
                 pending[i] = gens[i].send(tup)
             except StopIteration as e:
@@ -320,12 +319,12 @@ def run_matesw_rounds(opt: MemOptions, gens: list, localsw_fn, mat,
 
 # ------------------------------------------------------------- sam_pe ----
 
-def sam_pe(opt: MemOptions, idx: FMIndex, pes: list[PEStat], pair_id: int,
-           names: tuple[str, str], seqs: tuple[str, str],
-           quals: tuple[str, str], queries: tuple[np.ndarray, np.ndarray],
-           regs: tuple[list[AlnReg], list[AlnReg]]
-           ) -> tuple[list[samio.SamRecord], list[samio.SamRecord]]:
-    """mem_sam_pe minus the rescue step (rescue runs batched beforehand)."""
+def sam_pe_g(opt: MemOptions, idx: FMIndex, pes: list[PEStat], pair_id: int,
+             names: tuple[str, str], seqs: tuple[str, str],
+             quals: tuple[str, str], queries: tuple[np.ndarray, np.ndarray],
+             regs: tuple[list[AlnReg], list[AlnReg]]):
+    """mem_sam_pe minus the rescue step (rescue runs batched beforehand).
+    Generator yielding GAJob (CIGAR DP fills run batched by the driver)."""
     a = [finalize.mark_primary(opt, regs[0], (pair_id << 1) | 0),
          finalize.mark_primary(opt, regs[1], (pair_id << 1) | 1)]
     extra_flag = 1
@@ -367,12 +366,12 @@ def sam_pe(opt: MemOptions, idx: FMIndex, pes: list[PEStat], pair_id: int,
                         finalize.approx_mapq_se(opt, c[1])]
             h = []
             for i in range(2):
-                aln = finalize.reg2aln(opt, idx, len(seqs[i]), queries[i],
-                                       c[i])
+                aln = yield from finalize.reg2aln_g(
+                    opt, idx, len(seqs[i]), queries[i], c[i])
                 aln.mapq = q_se[i]
                 aln.flag |= (0x40 << i) | extra_flag
-                xa = finalize.gen_xa(opt, idx, a[i], len(seqs[i]),
-                                     queries[i])
+                xa = yield from finalize.gen_xa_g(
+                    opt, idx, a[i], len(seqs[i]), queries[i])
                 aln.XA = xa.get(z[i])
                 h.append(aln)
             rec0 = finalize.aln2sam(opt, idx, names[0], seqs[0], quals[0],
@@ -384,38 +383,35 @@ def sam_pe(opt: MemOptions, idx: FMIndex, pes: list[PEStat], pair_id: int,
     # ---- no pairing: output each end SE-style, with mate info ----
     h = []
     for i in range(2):
-        if a[i] and a[i][0].score >= opt.T:
-            h.append(finalize.reg2aln(opt, idx, len(seqs[i]), queries[i],
-                                      a[i][0]))
-        else:
-            h.append(finalize.reg2aln(opt, idx, len(seqs[i]), queries[i],
-                                      None))
+        src = a[i][0] if (a[i] and a[i][0].score >= opt.T) else None
+        h.append((yield from finalize.reg2aln_g(
+            opt, idx, len(seqs[i]), queries[i], src)))
     if a[0] and a[1] and h[0].rid == h[1].rid and h[0].rid >= 0:
         dist, d = infer_dir(idx.l_pac, a[0][0].rb, a[1][0].rb)
         if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
             extra_flag |= 2
     out = ([], [])
     for i in range(2):
-        recs = pe_end_records(opt, idx, names[i], seqs[i], quals[i],
-                              queries[i], a[i],
-                              (0x40 << i) | extra_flag, h[1 - i])
+        recs = yield from pe_end_records_g(
+            opt, idx, names[i], seqs[i], quals[i], queries[i], a[i],
+            (0x40 << i) | extra_flag, h[1 - i])
         out[i].extend(recs)
     return out
 
 
-def pe_end_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
-                   qual: str, query: np.ndarray, regs: list[AlnReg],
-                   extra_flag: int, mate: finalize.Aln
-                   ) -> list[samio.SamRecord]:
-    """mem_reg2sam for one end of an unpaired pair (regs already marked)."""
-    xa = finalize.gen_xa(opt, idx, regs, len(seq), query)
+def pe_end_records_g(opt: MemOptions, idx: FMIndex, name: str, seq: str,
+                     qual: str, query: np.ndarray, regs: list[AlnReg],
+                     extra_flag: int, mate: finalize.Aln):
+    """mem_reg2sam for one end of an unpaired pair (regs already marked).
+    Generator."""
+    xa = yield from finalize.gen_xa_g(opt, idx, regs, len(seq), query)
     alns = []
     for k, p in enumerate(regs):
         if p.score < opt.T:
             continue
         if p.secondary >= 0:
             continue
-        q = finalize.reg2aln(opt, idx, len(seq), query, p)
+        q = yield from finalize.reg2aln_g(opt, idx, len(seq), query, p)
         q.XA = xa.get(k)
         if alns:
             q.flag |= samio.FLAG_SUPPLEMENTARY
@@ -424,7 +420,7 @@ def pe_end_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
         q.flag |= extra_flag
         alns.append(q)
     if not alns:
-        t = finalize.reg2aln(opt, idx, len(seq), query, None)
+        t = yield from finalize.reg2aln_g(opt, idx, len(seq), query, None)
         t.flag |= extra_flag
         return [finalize.aln2sam(opt, idx, name, seq, qual, 1, [t], 0,
                                  mate=mate)]
@@ -438,6 +434,7 @@ def pe_end_records(opt: MemOptions, idx: FMIndex, name: str, seq: str,
 def align_pe_fastq(aligner, fq1: str, fq2: str, out) -> int:
     from tpubwa.io.fastq import batch_reads, read_fastq
     from tpubwa.ops.localsw import localsw_batch
+    from tpubwa.utils.rounds import drive_rounds
 
     opt = aligner.opt
     idx = aligner.idx
@@ -457,12 +454,14 @@ def align_pe_fastq(aligner, fq1: str, fq2: str, out) -> int:
         regs1 = _se_regions(aligner, b1)
         regs2 = _se_regions(aligner, b2)
         # dedup/sort before pairing (mem_align1_core does this)
-        regs1 = [finalize.sort_dedup_patch(
-            opt, idx, b1.codes[i, : b1.lens[i]], r)
-            for i, r in enumerate(regs1)]
-        regs2 = [finalize.sort_dedup_patch(
-            opt, idx, b2.codes[i, : b2.lens[i]], r)
-            for i, r in enumerate(regs2)]
+        regs1 = drive_rounds(
+            [finalize.sort_dedup_patch_g(opt, idx, b1.codes[i, : b1.lens[i]],
+                                         r) for i, r in enumerate(regs1)],
+            aligner.ga_exec)
+        regs2 = drive_rounds(
+            [finalize.sort_dedup_patch_g(opt, idx, b2.codes[i, : b2.lens[i]],
+                                         r) for i, r in enumerate(regs2)],
+            aligner.ga_exec)
         pairs = list(zip(regs1, regs2))
         with aligner.timers.phase("PAIR"):
             pes = pestat(opt, idx.l_pac, pairs)
@@ -485,14 +484,17 @@ def align_pe_fastq(aligner, fq1: str, fq2: str, out) -> int:
             if gens:
                 run_matesw_rounds(opt, gens, localsw_batch, aligner.mat)
         with aligner.timers.phase("SAM"):
-            for i in range(b1.n):
-                recs0, recs1 = sam_pe(
-                    opt, idx, pes, (n_done >> 1) + i,
-                    (b1.names[i], b2.names[i]),
-                    (b1.seqs[i], b2.seqs[i]),
-                    (b1.quals[i], b2.quals[i]),
-                    (b1.codes[i, : b1.lens[i]], b2.codes[i, : b2.lens[i]]),
-                    pairs[i])
+            gens = [
+                sam_pe_g(opt, idx, pes, (n_done >> 1) + i,
+                         (b1.names[i], b2.names[i]),
+                         (b1.seqs[i], b2.seqs[i]),
+                         (b1.quals[i], b2.quals[i]),
+                         (b1.codes[i, : b1.lens[i]],
+                          b2.codes[i, : b2.lens[i]]),
+                         pairs[i])
+                for i in range(b1.n)
+            ]
+            for recs0, recs1 in drive_rounds(gens, aligner.ga_exec):
                 for r in recs0:
                     out.write(r.line() + "\n")
                 for r in recs1:

@@ -41,9 +41,12 @@ class Aligner:
         self.mat = self.opt.score_matrix()
         self.contig_offsets = np.array([c.offset for c in idx.contigs],
                                        dtype=np.int64)
+        from tpubwa.align.cigar_batch import GABatchExecutor
+
         self._collect = collect_smems_chain
         self._expand = smems_to_seeds
         self._extend = extend_batch
+        self.ga_exec = GABatchExecutor(self.opt)
         self.timers = PhaseTimers()
 
     # ------------------------------------------------ device seeding ----
@@ -62,11 +65,13 @@ class Aligner:
         with self.timers.phase("SAL"):
             sb = self._expand(self.di, sm, max_occ=opt.max_occ,
                               out_seeds=opt.max_seeds_per_read)
-            rbeg = np.asarray(sb.rbeg)
-            qbeg = np.asarray(sb.qbeg)
-            slen = np.asarray(sb.len)
-            valid = np.asarray(sb.valid)
-            l_rep = np.asarray(sb.l_rep)
+            # single stacked download (device->host bandwidth bound)
+            packed = np.asarray(jnp.stack(
+                [sb.rbeg, sb.qbeg, sb.len, sb.valid.astype(jnp.int32),
+                 jnp.broadcast_to(sb.l_rep[:, None], sb.rbeg.shape)]))
+            rbeg, qbeg, slen = packed[0], packed[1], packed[2]
+            valid = packed[3].astype(bool)
+            l_rep = packed[4, :, 0]
         return rbeg, qbeg, slen, valid, l_rep
 
     # ------------------------------------------------ host chaining ----
@@ -107,19 +112,26 @@ class Aligner:
     # ------------------------------------------------ full batch ----
 
     def align_se_batch(self, batch, read_id0: int):
-        """Align a ReadBatch single-end; returns list[list[SamRecord]]."""
+        """Align a ReadBatch single-end; returns list[list[SamRecord]].
+
+        SAM finalization drives all reads' generators in lockstep rounds so
+        every CIGAR DP fill in the batch runs as bucketed device calls
+        (the reference ran scalar ksw_global2 per alignment in worker_sam)."""
+        from tpubwa.utils.rounds import drive_rounds
+
         rbeg, qbeg, slen, valid, l_rep = self.seed_batch(
             batch.codes, batch.lens)
         chains = self.chain_batch(rbeg, qbeg, slen, valid, l_rep, batch.lens)
         regs = self.extend_batch_rounds(batch.codes, batch.lens, chains)
-        out = []
         with self.timers.phase("SAM"):
-            for b in range(batch.n):
-                query = batch.codes[b, : batch.lens[b]]
-                recs = finalize.se_records(
+            gens = [
+                finalize.se_records_g(
                     self.opt, self.idx, batch.names[b], batch.seqs[b],
-                    batch.quals[b], query, regs[b], read_id0 + b)
-                out.append(recs)
+                    batch.quals[b], batch.codes[b, : batch.lens[b]],
+                    regs[b], read_id0 + b)
+                for b in range(batch.n)
+            ]
+            out = drive_rounds(gens, self.ga_exec)
         return out
 
 

@@ -229,16 +229,18 @@ def run_extension_rounds(gens: list[Iterator[ExtJob]], opt: MemOptions,
             results[i] = e.value or []
 
     mat_j = jnp.asarray(mat)
+    B = n
+    q = np.full((B, q_pad), 4, np.int32)
+    t = np.full((B, t_pad), 4, np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    w = np.zeros(B, np.int32)
+    h0 = np.ones(B, np.int32)
+    bonus = np.zeros(B, np.int32)
     while live:
         idxs = sorted(live)
-        B = n
-        q = np.full((B, q_pad), 4, np.int32)
-        t = np.full((B, t_pad), 4, np.int32)
-        qlen = np.zeros(B, np.int32)
-        tlen = np.zeros(B, np.int32)
-        w = np.zeros(B, np.int32)
-        h0 = np.ones(B, np.int32)
-        bonus = np.zeros(B, np.int32)
+        qlen.fill(0)
+        tlen.fill(0)
         for i in idxs:
             job = pending[i]
             nq = min(len(job.query), q_pad)
@@ -256,16 +258,14 @@ def run_extension_rounds(gens: list[Iterator[ExtJob]], opt: MemOptions,
             jnp.asarray(bonus),
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, zdrop=opt.zdrop, mat_max=opt.a)
-        score = np.asarray(out.score)
-        qle = np.asarray(out.qle)
-        tle = np.asarray(out.tle)
-        gtle = np.asarray(out.gtle)
-        gscore = np.asarray(out.gscore)
-        max_off = np.asarray(out.max_off)
+        # one stacked download (device->host bandwidth is the bottleneck)
+        packed = np.asarray(jnp.stack(
+            [out.score, out.qle, out.tle, out.gtle, out.gscore,
+             out.max_off]))
         for i in idxs:
-            res = ExtendResult(int(score[i]), int(qle[i]), int(tle[i]),
-                               int(gtle[i]), int(gscore[i]),
-                               int(max_off[i]))
+            res = ExtendResult(int(packed[0, i]), int(packed[1, i]),
+                               int(packed[2, i]), int(packed[3, i]),
+                               int(packed[4, i]), int(packed[5, i]))
             try:
                 pending[i] = gens[i].send(res)
             except StopIteration as e:

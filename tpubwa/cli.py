@@ -59,7 +59,27 @@ def cmd_mem(args) -> int:
         return 1
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache under ~/.cache/tpubwa (first compile of
+    the device pipeline is tens of seconds; cached reruns are instant)."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "TPUBWA_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "tpubwa",
+                         "jax_cache"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="tpu-bwa",
                                 description="TPU-native short-read aligner")
     sub = p.add_subparsers(dest="cmd", required=True)
