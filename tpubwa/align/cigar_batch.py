@@ -66,7 +66,11 @@ class GABatchExecutor:
                     opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, job.w)
 
         for (bq, bt), idxs in by_bucket.items():
-            B = len(idxs)
+            # pad the lane count to a power of two so each (B, Q, T) shape
+            # compiles exactly once
+            B = 64
+            while B < len(idxs):
+                B <<= 1
             q = np.zeros((B, bq), np.int32)
             t = np.zeros((B, bt), np.int32)
             qlen = np.zeros(B, np.int32)

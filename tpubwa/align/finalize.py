@@ -353,7 +353,8 @@ def _ref_len(cigar) -> int:
     return sum(ln for op, ln in cigar if op in (0, 2))
 
 
-REVCOMP_STR = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+REVCOMP_TRANS = str.maketrans("ACGTURYSWKMBDHVNacgturyswkmbdhvn",
+                              "TGCAAYRSWMKVHDBNtgcaayrswmkvhdbn")
 
 
 def aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: str, qual: str,
@@ -416,8 +417,7 @@ def aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: str, qual: str,
             oqual = qual[qb:qe] if qual else "*"
         else:
             sub = seq[len(seq) - qe: len(seq) - qb]
-            oseq = "".join(REVCOMP_STR.get(c.upper(), "N")
-                           for c in reversed(sub))
+            oseq = sub.translate(REVCOMP_TRANS)[::-1]
             oqual = qual[len(seq) - qe: len(seq) - qb][::-1] if qual else "*"
 
     tags = []

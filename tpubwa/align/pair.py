@@ -283,22 +283,28 @@ def run_matesw_rounds(opt: MemOptions, gens: list, localsw_fn, mat,
     mat_j = jnp.asarray(mat)
     while live:
         idxs = sorted(live)
-        q = np.full((n_gen, q_pad), 4, np.int32)
-        t = np.full((n_gen, t_pad), 4, np.int32)
-        qlen = np.zeros(n_gen, np.int32)
-        tlen = np.zeros(n_gen, np.int32)
-        minsc = np.zeros(n_gen, np.int32)
-        endsc = np.full(n_gen, 1 << 30, np.int32)
-        for i in idxs:
+        nb = len(idxs)
+        B = 64
+        while B < nb:
+            B <<= 1
+        t_max = max(min(len(pending[i].target), t_pad) for i in idxs)
+        t_b = 256 if t_max <= 256 else t_pad
+        q = np.full((B, q_pad), 4, np.int32)
+        t = np.full((B, t_b), 4, np.int32)
+        qlen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        minsc = np.zeros(B, np.int32)
+        endsc = np.full(B, 1 << 30, np.int32)
+        for r, i in enumerate(idxs):
             job = pending[i]
             nq = min(len(job.query), q_pad)
-            nt = min(len(job.target), t_pad)
-            q[i, :nq] = job.query[:nq]
-            t[i, :nt] = job.target[:nt]
-            qlen[i] = nq
-            tlen[i] = nt
-            minsc[i] = job.minsc
-            endsc[i] = job.endsc
+            nt = min(len(job.target), t_b)
+            q[r, :nq] = job.query[:nq]
+            t[r, :nt] = job.target[:nt]
+            qlen[r] = nq
+            tlen[r] = nt
+            minsc[r] = job.minsc
+            endsc[r] = job.endsc
         res = localsw_fn(
             jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
             jnp.asarray(tlen), mat_j, jnp.asarray(minsc),
@@ -306,9 +312,9 @@ def run_matesw_rounds(opt: MemOptions, gens: list, localsw_fn, mat,
             o_ins=opt.o_ins, e_ins=opt.e_ins)
         packed = np.asarray(jnp.stack([res.score, res.te, res.qe,
                                        res.score2]))
-        for i in idxs:
-            tup = (int(packed[0, i]), int(packed[1, i]), int(packed[2, i]),
-                   int(packed[3, i]))
+        for r, i in enumerate(idxs):
+            tup = (int(packed[0, r]), int(packed[1, r]), int(packed[2, r]),
+                   int(packed[3, r]))
             try:
                 pending[i] = gens[i].send(tup)
             except StopIteration as e:
@@ -506,7 +512,6 @@ def align_pe_fastq(aligner, fq1: str, fq2: str, out) -> int:
 
 
 def _se_regions(aligner, batch):
-    rbeg, qbeg, slen, valid, l_rep = aligner.seed_batch(
-        batch.codes, batch.lens)
-    chains = aligner.chain_batch(rbeg, qbeg, slen, valid, l_rep, batch.lens)
+    seed_rows, l_rep = aligner.seed_batch(batch.codes, batch.lens)
+    chains = aligner.chain_batch(seed_rows, l_rep, batch.lens)
     return aligner.extend_batch_rounds(batch.codes, batch.lens, chains)

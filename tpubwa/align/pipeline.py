@@ -52,8 +52,14 @@ class Aligner:
     # ------------------------------------------------ device seeding ----
 
     def seed_batch(self, codes: np.ndarray, lens: np.ndarray):
-        """Device: SMEMs + seed expansion for a fixed-shape read batch."""
+        """Device: SMEMs + seed expansion for a fixed-shape read batch.
+
+        Returns (seed_rows [n, 4] = (read_id, rbeg, qbeg, len), l_rep [B]).
+        Seeds are compacted on device and only the dense prefix is
+        downloaded (device->host bandwidth is the bottleneck)."""
         import jax.numpy as jnp
+
+        from tpubwa.ops.seeds import compact_seeds
 
         opt = self.opt
         with self.timers.phase("SMEM"):
@@ -65,29 +71,32 @@ class Aligner:
         with self.timers.phase("SAL"):
             sb = self._expand(self.di, sm, max_occ=opt.max_occ,
                               out_seeds=opt.max_seeds_per_read)
-            # single stacked download (device->host bandwidth bound)
-            packed = np.asarray(jnp.stack(
-                [sb.rbeg, sb.qbeg, sb.len, sb.valid.astype(jnp.int32),
-                 jnp.broadcast_to(sb.l_rep[:, None], sb.rbeg.shape)]))
-            rbeg, qbeg, slen = packed[0], packed[1], packed[2]
-            valid = packed[3].astype(bool)
-            l_rep = packed[4, :, 0]
-        return rbeg, qbeg, slen, valid, l_rep
+            cs = compact_seeds(sb)
+            meta = np.asarray(jnp.concatenate([cs.n[None], cs.l_rep]))
+            n = int(meta[0])
+            l_rep = meta[1:]
+            # round the prefix length up to bound the number of slice shapes
+            n_pad = min(-(-max(n, 1) // 4096) * 4096, cs.packed.shape[0])
+            rows = np.asarray(cs.packed[:n_pad])[:n]
+        return rows, l_rep
 
     # ------------------------------------------------ host chaining ----
 
-    def chain_batch(self, rbeg, qbeg, slen, valid, l_rep, lens):
+    def chain_batch(self, seed_rows: np.ndarray, l_rep: np.ndarray, lens):
         opt = self.opt
+        B = len(lens)
         chains_per_read = []
         with self.timers.phase("CHAIN"):
-            for b in range(rbeg.shape[0]):
+            # seed rows are in (read, slot) order: per-read segments
+            bounds = np.searchsorted(seed_rows[:, 0], np.arange(B + 1))
+            for b in range(B):
                 if lens[b] < opt.min_seed_len:
                     chains_per_read.append([])
                     continue
+                seg = seed_rows[bounds[b]:bounds[b + 1]]
                 seeds = [
-                    chainmod.Seed(int(rbeg[b, t]), int(qbeg[b, t]),
-                                  int(slen[b, t]), int(slen[b, t]))
-                    for t in np.flatnonzero(valid[b])
+                    chainmod.Seed(int(r[1]), int(r[2]), int(r[3]), int(r[3]))
+                    for r in seg
                 ]
                 chains = chainmod.chain_read(
                     opt, self.idx.l_pac, self.contig_offsets, seeds,
@@ -119,9 +128,8 @@ class Aligner:
         (the reference ran scalar ksw_global2 per alignment in worker_sam)."""
         from tpubwa.utils.rounds import drive_rounds
 
-        rbeg, qbeg, slen, valid, l_rep = self.seed_batch(
-            batch.codes, batch.lens)
-        chains = self.chain_batch(rbeg, qbeg, slen, valid, l_rep, batch.lens)
+        seed_rows, l_rep = self.seed_batch(batch.codes, batch.lens)
+        chains = self.chain_batch(seed_rows, l_rep, batch.lens)
         regs = self.extend_batch_rounds(batch.codes, batch.lens, chains)
         with self.timers.phase("SAM"):
             gens = [

@@ -229,29 +229,35 @@ def run_extension_rounds(gens: list[Iterator[ExtJob]], opt: MemOptions,
             results[i] = e.value or []
 
     mat_j = jnp.asarray(mat)
-    B = n
-    q = np.full((B, q_pad), 4, np.int32)
-    t = np.full((B, t_pad), 4, np.int32)
-    qlen = np.zeros(B, np.int32)
-    tlen = np.zeros(B, np.int32)
-    w = np.zeros(B, np.int32)
-    h0 = np.ones(B, np.int32)
-    bonus = np.zeros(B, np.int32)
     while live:
         idxs = sorted(live)
-        qlen.fill(0)
-        tlen.fill(0)
-        for i in idxs:
+        nb = len(idxs)
+        # lane compaction: most reads finish after 2-4 extension jobs, so
+        # later rounds run with far fewer lanes.  Bucket the batch size
+        # (powers of two) and target pad so only a few shapes ever compile.
+        B = 64
+        while B < nb:
+            B <<= 1
+        t_max = max(min(len(pending[i].target), t_pad) for i in idxs)
+        t_b = 256 if t_max <= 256 else t_pad
+        q = np.full((B, q_pad), 4, np.int32)
+        t = np.full((B, t_b), 4, np.int32)
+        qlen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        w = np.zeros(B, np.int32)
+        h0 = np.ones(B, np.int32)
+        bonus = np.zeros(B, np.int32)
+        for r, i in enumerate(idxs):
             job = pending[i]
             nq = min(len(job.query), q_pad)
-            nt = min(len(job.target), t_pad)
-            q[i, :nq] = job.query[:nq]
-            t[i, :nt] = job.target[:nt]
-            qlen[i] = nq
-            tlen[i] = nt
-            w[i] = job.w
-            h0[i] = max(job.h0, 1)
-            bonus[i] = job.end_bonus
+            nt = min(len(job.target), t_b)
+            q[r, :nq] = job.query[:nq]
+            t[r, :nt] = job.target[:nt]
+            qlen[r] = nq
+            tlen[r] = nt
+            w[r] = job.w
+            h0[r] = max(job.h0, 1)
+            bonus[r] = job.end_bonus
         out = extend_batch_fn(
             jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
             jnp.asarray(tlen), mat_j, jnp.asarray(w), jnp.asarray(h0),
@@ -262,10 +268,10 @@ def run_extension_rounds(gens: list[Iterator[ExtJob]], opt: MemOptions,
         packed = np.asarray(jnp.stack(
             [out.score, out.qle, out.tle, out.gtle, out.gscore,
              out.max_off]))
-        for i in idxs:
-            res = ExtendResult(int(packed[0, i]), int(packed[1, i]),
-                               int(packed[2, i]), int(packed[3, i]),
-                               int(packed[4, i]), int(packed[5, i]))
+        for r, i in enumerate(idxs):
+            res = ExtendResult(int(packed[0, r]), int(packed[1, r]),
+                               int(packed[2, r]), int(packed[3, r]),
+                               int(packed[4, r]), int(packed[5, r]))
             try:
                 pending[i] = gens[i].send(res)
             except StopIteration as e:

@@ -306,28 +306,34 @@ def steps_to_cigar(steps_row: np.ndarray) -> list[tuple[int, int]]:
             for i in range(len(bounds) - 1)]
 
 
+_MD_CHARS = "ACGTN"
+
+
 def cigar_nm_md(query: np.ndarray, target: np.ndarray,
                 cigar: list[tuple[int, int]]) -> tuple[int, str]:
     """NM edit distance + MD tag from an M/I/D cigar over code sequences
-    (query/target in the same orientation the cigar was computed in)."""
-    from tpubwa.utils.dna import CODE_TO_CHAR
-
+    (query/target in the same orientation the cigar was computed in).
+    M runs are compared vectorized (reads are usually a single long M)."""
     qi = ti = 0
     nm = 0
     md = []
     match_run = 0
     for op, ln in cigar:
         if op == 0:  # M
-            for _ in range(ln):
-                if query[qi] == target[ti] and query[qi] < 4:
-                    match_run += 1
-                else:
-                    md.append(str(match_run))
-                    match_run = 0
-                    md.append(chr(CODE_TO_CHAR[min(int(target[ti]), 4)]))
-                    nm += 1
-                qi += 1
-                ti += 1
+            q = np.asarray(query[qi:qi + ln])
+            t = np.asarray(target[ti:ti + ln])
+            mm = np.flatnonzero((q != t) | (q >= 4))
+            prev = 0
+            for j in mm:
+                j = int(j)
+                md.append(str(match_run + j - prev))
+                md.append(_MD_CHARS[min(int(t[j]), 4)])
+                match_run = 0
+                prev = j + 1
+            match_run += ln - prev
+            nm += len(mm)
+            qi += ln
+            ti += ln
         elif op == 1:  # I
             qi += ln
             nm += ln
@@ -335,7 +341,7 @@ def cigar_nm_md(query: np.ndarray, target: np.ndarray,
             md.append(str(match_run))
             match_run = 0
             md.append("^" + "".join(
-                chr(CODE_TO_CHAR[min(int(c), 4)]) for c in target[ti:ti + ln]))
+                _MD_CHARS[min(int(c), 4)] for c in target[ti:ti + ln]))
             nm += ln
             ti += ln
         elif op in (3, 4):  # clips: query only (not part of NM/MD)

@@ -95,3 +95,35 @@ def smems_to_seeds(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
         overflow=off_end[:, -1] > S,
         l_rep=l_rep,
     )
+
+
+class CompactSeeds(NamedTuple):
+    packed: jax.Array   # [CAP, 4] int32 rows (read_id, rbeg, qbeg, len),
+    #                     in (read, slot) order; rows >= n are zero
+    n: jax.Array        # [] int32 number of valid rows
+    l_rep: jax.Array    # [B] int32
+
+
+@jax.jit
+def compact_seeds(sb: SeedBatch) -> CompactSeeds:
+    """Flatten the padded [B, S] seed batch into a dense [n, 4] row block.
+
+    Download-size optimization: padded seed tensors are ~95% padding (most
+    reads have <10 seeds), and device->host bandwidth is the pipeline
+    bottleneck on tunneled TPUs — the host only ever reads the valid rows,
+    so scatter them to a dense prefix on device and ship just that.
+    """
+    import jax.numpy as jnp
+
+    B, S = sb.rbeg.shape
+    I32 = jnp.int32
+    valid = sb.valid.reshape(-1)
+    pos = jnp.cumsum(valid.astype(I32)) - 1
+    dst = jnp.where(valid, pos, B * S)         # OOB rows -> dropped
+    read_id = jnp.broadcast_to(
+        jnp.arange(B, dtype=I32)[:, None], (B, S)).reshape(-1)
+    rows = jnp.stack(
+        [read_id, sb.rbeg.reshape(-1), sb.qbeg.reshape(-1),
+         sb.len.reshape(-1)], axis=1)
+    packed = jnp.zeros((B * S, 4), I32).at[dst].set(rows, mode="drop")
+    return CompactSeeds(packed=packed, n=pos[-1] + 1, l_rep=sb.l_rep)
