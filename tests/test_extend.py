@@ -123,3 +123,82 @@ def test_extend_batch_matches_ref(rng):
                 int(res.score[b]), int(res.qle[b]), int(res.tle[b]),
                 int(res.gtle[b]), int(res.gscore[b]), int(res.max_off[b]))
             assert got == want, (b, zdrop, got, want)
+
+
+def test_extend_seed_batch_matches_host_logic(rng):
+    """Fused whole-seed extension (left + right + band retries on device)
+    must equal the original per-side host retry loop over extend_ref."""
+    import jax.numpy as jnp
+
+    from tpubwa.ops.extend import extend_seed_batch
+
+    def host_side(qq, tt, w0, h0, bonus, prev):
+        res = None
+        aw = w0
+        for i in range(2):  # MAX_BAND_TRY
+            aw = w0 << i
+            res = extend_ref(qq, tt, MAT, OPT.o_del, OPT.e_del, OPT.o_ins,
+                             OPT.e_ins, aw, bonus, OPT.zdrop, h0)
+            if res.score == prev or res.max_off < (aw >> 1) + (aw >> 2):
+                break
+            prev = res.score
+        return res, aw
+
+    pairs_l = random_pairs(rng, 48)
+    pairs_r = random_pairs(rng, 48)
+    Q, T = 100, 160
+    B = len(pairs_l)
+    q_l = np.full((B, Q), 4, np.int32)
+    t_l = np.full((B, T), 4, np.int32)
+    q_r = np.full((B, Q), 4, np.int32)
+    t_r = np.full((B, T), 4, np.int32)
+    qlen_l = np.zeros(B, np.int32)
+    tlen_l = np.zeros(B, np.int32)
+    qlen_r = np.zeros(B, np.int32)
+    tlen_r = np.zeros(B, np.int32)
+    h0 = rng.integers(1, 40, B).astype(np.int32)
+    for b in range(B):
+        ql, tl = pairs_l[b]
+        qr, tr = pairs_r[b]
+        q_l[b, : len(ql)] = ql
+        t_l[b, : len(tl)] = tl
+        q_r[b, : len(qr)] = qr
+        t_r[b, : len(tr)] = tr
+        qlen_l[b], tlen_l[b] = len(ql), len(tl)
+        qlen_r[b], tlen_r[b] = len(qr), len(tr)
+    # no-left and no-right lanes
+    qlen_l[0] = tlen_l[0] = 0
+    qlen_r[1] = tlen_r[1] = 0
+    w0 = 12  # small band so retries actually trigger
+
+    out = extend_seed_batch(
+        jnp.asarray(q_l), jnp.asarray(qlen_l), jnp.asarray(t_l),
+        jnp.asarray(tlen_l), jnp.asarray(q_r), jnp.asarray(qlen_r),
+        jnp.asarray(t_r), jnp.asarray(tlen_r), jnp.asarray(MAT),
+        jnp.full(B, w0, np.int32), jnp.asarray(h0),
+        jnp.full(B, OPT.pen_clip5, np.int32),
+        jnp.full(B, OPT.pen_clip3, np.int32),
+        o_del=OPT.o_del, e_del=OPT.e_del, o_ins=OPT.o_ins, e_ins=OPT.e_ins,
+        zdrop=OPT.zdrop, mat_max=OPT.a)
+
+    for b in range(B):
+        if qlen_l[b] > 0:
+            want_l, aw0 = host_side(
+                q_l[b, : qlen_l[b]].astype(np.uint8),
+                t_l[b, : tlen_l[b]].astype(np.uint8), w0, int(h0[b]),
+                OPT.pen_clip5, -1)
+            got_l = ExtendResult(*(int(np.asarray(f)[b]) for f in out.left))
+            assert got_l == want_l, (b, got_l, want_l)
+            assert int(out.aw0[b]) == aw0, b
+            sc0 = want_l.score
+        else:
+            sc0 = int(h0[b])
+        assert int(out.score0[b]) == sc0, b
+        if qlen_r[b] > 0:
+            want_r, aw1 = host_side(
+                q_r[b, : qlen_r[b]].astype(np.uint8),
+                t_r[b, : tlen_r[b]].astype(np.uint8), w0, sc0,
+                OPT.pen_clip3, sc0)
+            got_r = ExtendResult(*(int(np.asarray(f)[b]) for f in out.right))
+            assert got_r == want_r, (b, got_r, want_r)
+            assert int(out.aw1[b]) == aw1, b

@@ -19,7 +19,7 @@ from tpubwa.align import finalize
 from tpubwa.align.region import extend_read, run_extension_rounds
 from tpubwa.config import MemOptions
 from tpubwa.index.fmindex import FMIndex
-from tpubwa.io.fastq import batch_reads, read_fastq
+from tpubwa.io.fastq import batch_reads  # noqa: F401 (re-export)
 from tpubwa.io.sam import sam_header
 from tpubwa.utils.timers import PhaseTimers
 
@@ -30,7 +30,7 @@ class Aligner:
     def __init__(self, idx: FMIndex, opt: MemOptions | None = None):
         import jax.numpy as jnp  # noqa: F401
 
-        from tpubwa.ops.extend import extend_batch
+        from tpubwa.ops.extend import extend_seed_batch
         from tpubwa.ops.fm import DeviceIndex
         from tpubwa.ops.seeds import smems_to_seeds
         from tpubwa.ops.smem_chain import collect_smems_chain
@@ -43,9 +43,16 @@ class Aligner:
                                        dtype=np.int64)
         from tpubwa.align.cigar_batch import GABatchExecutor
 
+        import jax
+
         self._collect = collect_smems_chain
         self._expand = smems_to_seeds
-        self._extend = extend_batch
+        if jax.devices()[0].platform == "tpu":
+            # production path: VMEM-resident Pallas DP core
+            from tpubwa.ops.extend_pallas import extend_seed_batch_pallas
+            self._extend = extend_seed_batch_pallas
+        else:
+            self._extend = extend_seed_batch
         self.ga_exec = GABatchExecutor(self.opt)
         self.timers = PhaseTimers()
 
@@ -159,21 +166,66 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
     aligner = Aligner(idx, opt)
     out.write(sam_header(idx.contigs, cmdline, tpubwa.__version__))
 
-    from tpubwa.io.fastq import batch_reads as make_batches
-
     if fq2 is not None:
         from tpubwa.align.pair import align_pe_fastq
 
         return align_pe_fastq(aligner, fq1, fq2, out)
 
-    reads = list(read_fastq(fq1))
-    n_done = 0
-    for batch in make_batches(reads, opt.batch_reads, opt.max_read_len):
-        recs = aligner.align_se_batch(batch, n_done)
-        for rlist in recs:
-            for r in rlist:
-                out.write(r.line() + "\n")
-        n_done += batch.n
-        print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
+    run_se_pipeline(aligner, fq1, out)
     print(aligner.timers.report(), file=sys.stderr)
     return 0
+
+
+def run_se_pipeline(aligner: Aligner, fq1: str, out, queue_depth: int = 2
+                    ) -> int:
+    """3-stage pipelined SE driver: FASTQ reader thread -> device compute
+    (main thread) -> SAM writer thread, double-buffered through bounded
+    queues.  Reference analog: fastmap.cpp's kt_pipeline (SURVEY.md §3.1
+    stage 1 read / stage 2 MEM_PROCESS_SEQ / stage 3 write)."""
+    import queue
+    import threading
+
+    from tpubwa.io.fastq import stream_batches
+
+    opt = aligner.opt
+    in_q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+    out_q: "queue.Queue" = queue.Queue(maxsize=queue_depth * 2)
+    err: list[BaseException] = []
+
+    def reader():
+        try:
+            for batch in stream_batches(fq1, opt.batch_reads,
+                                        opt.max_read_len):
+                in_q.put(batch)
+        except BaseException as e:  # propagate to main
+            err.append(e)
+        finally:
+            in_q.put(None)
+
+    def writer():
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            out.write(item)
+
+    rt = threading.Thread(target=reader, daemon=True)
+    wt = threading.Thread(target=writer, daemon=True)
+    rt.start()
+    wt.start()
+    n_done = 0
+    while True:
+        batch = in_q.get()
+        if batch is None:
+            break
+        recs = aligner.align_se_batch(batch, n_done)
+        out_q.put("".join(
+            r.line() + "\n" for rlist in recs for r in rlist))
+        n_done += batch.n
+        print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
+    out_q.put(None)
+    wt.join()
+    rt.join()
+    if err:
+        raise err[0]
+    return n_done

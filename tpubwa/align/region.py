@@ -3,11 +3,12 @@
 Semantics of bwa-mem's mem_chain2aln (reference call stack SURVEY.md §3.1
 worker_aln → mem_chain2aln_across_reads_V2 → BandedPairWiseSW).  The TPU
 redesign: each read is a generator-coroutine that walks its chains/seeds
-(score-descending, with bwa's containment skip tests and band-doubling
-retries) and *yields* extension jobs; the driver (run_extension_rounds)
-batches one pending job per read per round into a single device
-extend_batch call — the reference's "one SIMD lane = one extension pair"
-SoA batching, re-expressed as lockstep rounds over the read batch.
+(score-descending, with bwa's containment skip tests) and *yields* one
+whole-seed job per seed; the driver (run_extension_rounds) batches one
+pending job per read per round into a single fused device call
+(extend_seed_batch = left + right extension + band-doubling retries) —
+the reference's "one SIMD lane = one extension pair" SoA batching,
+re-expressed as lockstep rounds over the read batch.
 """
 from __future__ import annotations
 
@@ -19,8 +20,6 @@ import numpy as np
 from tpubwa.align.chain import Chain
 from tpubwa.config import MemOptions
 from tpubwa.ops.extend_ref import ExtendResult
-
-MAX_BAND_TRY = 2
 
 
 @dataclasses.dataclass
@@ -48,12 +47,15 @@ class AlnReg:
 
 
 @dataclasses.dataclass
-class ExtJob:
-    query: np.ndarray   # codes, already reversed for left extension
-    target: np.ndarray
-    w: int
-    h0: int
-    end_bonus: int
+class SeedExtJob:
+    """One whole-seed extension: left (reversed) + right halves, fused into
+    a single device call (ops.extend.extend_seed_batch)."""
+
+    q_l: np.ndarray     # left query, already reversed; may be empty
+    t_l: np.ndarray
+    q_r: np.ndarray     # right query; may be empty
+    t_r: np.ndarray
+    h0: int             # seed_len * match score
 
 
 def cal_max_gap(opt: MemOptions, qlen: int) -> int:
@@ -143,59 +145,54 @@ def extend_read(opt: MemOptions, l_pac: int,
 
             a = AlnReg(w=opt.w, score=-1, truesc=-1, rid=c.rid,
                        frac_rep=c.frac_rep, seedlen0=s.len)
-            aw0 = aw1 = opt.w
 
-            if s.qbeg:  # left extension (reversed sequences)
-                qs = query[: s.qbeg][::-1].copy()
-                rs = rseq[: s.rbeg - rmax0][::-1].copy()
-                res = None
-                for i in range(MAX_BAND_TRY):
-                    prev = a.score
-                    aw0 = opt.w << i
-                    res = yield ExtJob(qs, rs, aw0, s.len * opt.a,
-                                       opt.pen_clip5)
-                    a.score = res.score
-                    if (a.score == prev
-                            or res.max_off < (aw0 >> 1) + (aw0 >> 2)):
-                        break
-                if res.gscore <= 0 or res.gscore <= a.score - opt.pen_clip5:
-                    a.qb = s.qbeg - res.qle
-                    a.rb = s.rbeg - res.tle
+            has_left = s.qbeg > 0
+            has_right = s.qbeg + s.len != l_query
+            qe = s.qbeg + s.len
+            re0 = s.rbeg + s.len - rmax0
+            empty = query[:0]
+            res = yield SeedExtJob(
+                q_l=(query[: s.qbeg][::-1].copy() if has_left else empty),
+                t_l=(rseq[: s.rbeg - rmax0][::-1].copy() if has_left
+                     else empty),
+                q_r=(query[qe:l_query] if has_right else empty),
+                t_r=(rseq[re0:] if has_right else empty),
+                h0=s.len * opt.a)
+            left, right, aw0, aw1 = res
+
+            if has_left:
+                a.score = left.score
+                if (left.gscore <= 0
+                        or left.gscore <= a.score - opt.pen_clip5):
+                    a.qb = s.qbeg - left.qle
+                    a.rb = s.rbeg - left.tle
                     a.truesc = a.score
                 else:
                     a.qb = 0
-                    a.rb = s.rbeg - res.gtle
-                    a.truesc = res.gscore
+                    a.rb = s.rbeg - left.gtle
+                    a.truesc = left.gscore
             else:
                 a.score = a.truesc = s.len * opt.a
                 a.qb = 0
                 a.rb = s.rbeg
+                aw0 = opt.w
 
-            if s.qbeg + s.len != l_query:  # right extension
-                qe = s.qbeg + s.len
-                re0 = s.rbeg + s.len - rmax0
+            if has_right:
                 sc0 = a.score
-                res = None
-                for i in range(MAX_BAND_TRY):
-                    prev = a.score
-                    aw1 = opt.w << i
-                    res = yield ExtJob(query[qe:l_query], rseq[re0:],
-                                       aw1, sc0, opt.pen_clip3)
-                    a.score = res.score
-                    if (a.score == prev
-                            or res.max_off < (aw1 >> 1) + (aw1 >> 2)):
-                        break
-                if res.gscore <= 0 or res.gscore <= a.score - opt.pen_clip3:
-                    a.qe = qe + res.qle
-                    a.re = rmax0 + re0 + res.tle
+                a.score = right.score
+                if (right.gscore <= 0
+                        or right.gscore <= a.score - opt.pen_clip3):
+                    a.qe = qe + right.qle
+                    a.re = rmax0 + re0 + right.tle
                     a.truesc += a.score - sc0
                 else:
                     a.qe = l_query
-                    a.re = rmax0 + re0 + res.gtle
-                    a.truesc += res.gscore - sc0
+                    a.re = rmax0 + re0 + right.gtle
+                    a.truesc += right.gscore - sc0
             else:
                 a.qe = l_query
                 a.re = s.rbeg + s.len
+                aw1 = opt.w
 
             a.seedcov = 0
             for t in c.seeds:
@@ -207,19 +204,20 @@ def extend_read(opt: MemOptions, l_pac: int,
     return regs
 
 
-def run_extension_rounds(gens: list[Iterator[ExtJob]], opt: MemOptions,
-                         mat: np.ndarray, extend_batch_fn,
+def run_extension_rounds(gens: list[Iterator[SeedExtJob]], opt: MemOptions,
+                         mat: np.ndarray, extend_seed_fn,
                          q_pad: int = 192, t_pad: int = 768,
                          ) -> list[list[AlnReg]]:
     """Drive per-read extension generators in lockstep rounds; one pending
-    job per read per round, all jobs in one device batch.  Batch shape is
-    static (len(gens) lanes) so the device kernel compiles once; finished
-    reads occupy dead lanes."""
+    whole-seed job per read per round, all jobs fused into one device call
+    (left + right + band retries — extend_seed_batch).  Live lanes are
+    compacted into power-of-two batch buckets so late rounds with few
+    surviving reads stay cheap."""
     import jax.numpy as jnp
 
     n = len(gens)
     results: list[list[AlnReg] | None] = [None] * n
-    pending: list[ExtJob | None] = [None] * n
+    pending: list[SeedExtJob | None] = [None] * n
     live = set()
     for i, g in enumerate(gens):
         try:
@@ -232,46 +230,53 @@ def run_extension_rounds(gens: list[Iterator[ExtJob]], opt: MemOptions,
     while live:
         idxs = sorted(live)
         nb = len(idxs)
-        # lane compaction: most reads finish after 2-4 extension jobs, so
-        # later rounds run with far fewer lanes.  Bucket the batch size
-        # (powers of two) and target pad so only a few shapes ever compile.
         B = 64
         while B < nb:
             B <<= 1
-        t_max = max(min(len(pending[i].target), t_pad) for i in idxs)
+        t_max = max(max(min(len(pending[i].t_l), t_pad),
+                        min(len(pending[i].t_r), t_pad)) for i in idxs)
         t_b = 256 if t_max <= 256 else t_pad
-        q = np.full((B, q_pad), 4, np.int32)
-        t = np.full((B, t_b), 4, np.int32)
-        qlen = np.zeros(B, np.int32)
-        tlen = np.zeros(B, np.int32)
-        w = np.zeros(B, np.int32)
+        q_l = np.full((B, q_pad), 4, np.int32)
+        t_l = np.full((B, t_b), 4, np.int32)
+        q_r = np.full((B, q_pad), 4, np.int32)
+        t_r = np.full((B, t_b), 4, np.int32)
+        qlen_l = np.zeros(B, np.int32)
+        tlen_l = np.zeros(B, np.int32)
+        qlen_r = np.zeros(B, np.int32)
+        tlen_r = np.zeros(B, np.int32)
         h0 = np.ones(B, np.int32)
-        bonus = np.zeros(B, np.int32)
         for r, i in enumerate(idxs):
             job = pending[i]
-            nq = min(len(job.query), q_pad)
-            nt = min(len(job.target), t_b)
-            q[r, :nq] = job.query[:nq]
-            t[r, :nt] = job.target[:nt]
-            qlen[r] = nq
-            tlen[r] = nt
-            w[r] = job.w
+            nql = min(len(job.q_l), q_pad)
+            ntl = min(len(job.t_l), t_b)
+            nqr = min(len(job.q_r), q_pad)
+            ntr = min(len(job.t_r), t_b)
+            q_l[r, :nql] = job.q_l[:nql]
+            t_l[r, :ntl] = job.t_l[:ntl]
+            q_r[r, :nqr] = job.q_r[:nqr]
+            t_r[r, :ntr] = job.t_r[:ntr]
+            qlen_l[r] = nql
+            tlen_l[r] = ntl
+            qlen_r[r] = nqr
+            tlen_r[r] = ntr
             h0[r] = max(job.h0, 1)
-            bonus[r] = job.end_bonus
-        out = extend_batch_fn(
-            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-            jnp.asarray(tlen), mat_j, jnp.asarray(w), jnp.asarray(h0),
-            jnp.asarray(bonus),
+        w0 = np.full(B, opt.w, np.int32)
+        pen5 = np.full(B, opt.pen_clip5, np.int32)
+        pen3 = np.full(B, opt.pen_clip3, np.int32)
+        out = extend_seed_fn(
+            jnp.asarray(q_l), jnp.asarray(qlen_l), jnp.asarray(t_l),
+            jnp.asarray(tlen_l), jnp.asarray(q_r), jnp.asarray(qlen_r),
+            jnp.asarray(t_r), jnp.asarray(tlen_r), mat_j, jnp.asarray(w0),
+            jnp.asarray(h0), jnp.asarray(pen5), jnp.asarray(pen3),
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, zdrop=opt.zdrop, mat_max=opt.a)
         # one stacked download (device->host bandwidth is the bottleneck)
         packed = np.asarray(jnp.stack(
-            [out.score, out.qle, out.tle, out.gtle, out.gscore,
-             out.max_off]))
+            list(out.left) + list(out.right) + [out.aw0, out.aw1]))
         for r, i in enumerate(idxs):
-            res = ExtendResult(int(packed[0, r]), int(packed[1, r]),
-                               int(packed[2, r]), int(packed[3, r]),
-                               int(packed[4, r]), int(packed[5, r]))
+            left = ExtendResult(*(int(packed[f, r]) for f in range(6)))
+            right = ExtendResult(*(int(packed[6 + f, r]) for f in range(6)))
+            res = (left, right, int(packed[12, r]), int(packed[13, r]))
             try:
                 pending[i] = gens[i].send(res)
             except StopIteration as e:

@@ -97,3 +97,17 @@ def batch_reads(reads: list[Read], batch_size: int, max_len: int,
             seqs=[r.seq for r in chunk],
             quals=[r.qual for r in chunk],
         )
+
+
+def stream_batches(path: str, batch_size: int, max_len: int
+                   ) -> Iterator[ReadBatch]:
+    """Stream fixed-shape batches straight off a FASTQ file without
+    materializing the whole file (fastmap stage-1 behavior)."""
+    import itertools
+
+    it = read_fastq(path)
+    while True:
+        chunk = list(itertools.islice(it, batch_size))
+        if not chunk:
+            return
+        yield from batch_reads(chunk, batch_size, max_len)

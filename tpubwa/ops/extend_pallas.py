@@ -1,0 +1,247 @@
+"""Pallas TPU kernel for batched banded affine-gap seed extension.
+
+THE hot DP kernel (SURVEY.md §7 "bandedSWA ... -> one Pallas kernel"): the
+reference implements this loop five times (SSE2/AVX2/AVX512/NEON/SVE2 —
+[src] bandedSWA*.cpp); here it is one kernel where a VPU lane = one
+extension job (inter-task vectorization, SoA), and — unlike the lax.scan
+formulation in ops.extend — the whole DP state (H/E/M rows and the best
+trackers) lives in VMEM across target rows, so each row costs a handful of
+VPU ops instead of an HBM round-trip of the carried state.
+
+Semantics are bit-identical to ops.extend._extend_core / extend_ref
+(property-tested): same band, row recurrence via the exclusive running-max
+F trick, zdrop, boundary column, and gscore bookkeeping.
+
+Grid: one program per lane tile (TILE_B lanes); the row loop is a
+jax.lax.while_loop *inside* the kernel with an any-alive early exit — in
+VMEM the per-iteration cost is tiny, and most lanes terminate long before
+the padded target length (zero-row break or z-drop).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpubwa.ops.extend import ExtendBatchResult, clamp_band_batch
+
+I32 = jnp.int32
+NEG = -(1 << 30)
+TILE_B = 256
+
+
+def _cummax_excl(g):
+    """Exclusive running max of g along lanes: log-step doubling
+    (8 shifted maxes for Q<=256)."""
+    B, Q = g.shape
+    k = 1
+    cm = g
+    while k < Q:
+        pad = jnp.full((B, k), NEG, I32)
+        cm = jnp.maximum(cm, jnp.concatenate([pad, cm[:, :-k]], axis=1))
+        k <<= 1
+    return jnp.concatenate([jnp.full((B, 1), NEG, I32), cm[:, :-1]], axis=1)
+
+
+def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
+            out_ref, H_ref, E_ref, M_ref, *, o_del: int, e_del: int,
+            o_ins: int, e_ins: int, zdrop: int):
+    B, Q = q_ref.shape
+    T = t_ref.shape[0]            # target arrives transposed: [T, B]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    s_match = sc_ref[0, 0]
+    s_mis = sc_ref[0, 1]
+    s_n = sc_ref[0, 2]
+
+    query = q_ref[:]
+    qlen = qlen_ref[:, 0]
+    tlen = tlen_ref[:, 0]
+    w = w_ref[:, 0]
+    h0 = h0_ref[:, 0]
+    jb = jax.lax.broadcasted_iota(I32, (B, Q), 1)
+    q_is_n = query >= 4
+
+    # 2-D DP state lives in VMEM scratch refs (while_loop carries of 2-D
+    # vectors hit Mosaic layout-inference corner cases; refs also avoid
+    # copying the state every iteration)
+    # boundary row: H(-1, j) = max(0, h0 - oe_ins - j*e_ins)
+    H_ref[:, :] = jnp.maximum(h0[:, None] - oe_ins - jb * e_ins, 0)
+    E_ref[:, :] = jnp.zeros((B, Q), I32)
+    M_ref[:, :] = jnp.zeros((B, Q), I32)
+
+    st = (jnp.zeros((), I32),                       # i
+          h0,                                       # H_prev boundary col
+          h0,                                       # best
+          jnp.full((B,), -1, I32),                  # best_i
+          jnp.full((B,), -1, I32),                  # best_j
+          jnp.full((B,), -1, I32),                  # max_ie
+          jnp.full((B,), -1, I32),                  # gscore
+          jnp.zeros((B,), I32),                     # max_off
+          ((qlen > 0) & (tlen > 0)).astype(I32))    # alive (i1 vector
+    #       carries fail Mosaic scf.yield legalization -> carry as i32)
+
+    def cond(st):
+        i, alive_i = st[0], st[-1]
+        return jnp.any((alive_i > 0) & (i < tlen))
+
+    def body(st):
+        (i, Hb, best, best_i, best_j, max_ie, gscore, max_off,
+         alive_i) = st
+        alive = alive_i > 0
+        H_tail = H_ref[:, :]
+        E = E_ref[:, :]
+        M_prev = M_ref[:, :]
+        act = alive & (i < tlen)
+
+        in_band = (jb >= i - w[:, None]) & (jb < i + w[:, None] + 1) \
+            & (jb < qlen[:, None])
+        t_i = t_ref[pl.ds(i, 1), :][0, :]
+        t_col = t_i[:, None]                    # int32: minor-dim insert ok
+        is_n = q_is_n | (t_col >= 4)
+        s_row = jnp.where(is_n, s_n,
+                          jnp.where(t_col == query, s_match, s_mis))
+
+        # H(i-1, j-1): boundary column prepended to H_tail shifted right
+        hd = jnp.concatenate([Hb[:, None], H_tail[:, :-1]], axis=1)
+        M = jnp.where(hd > 0, hd + s_row, 0)
+        M = jnp.where(in_band, M, 0)
+
+        E_old = E
+        gate = (i > 0).astype(I32)     # scalar gate (scalar-pred where on
+        #                                2-D values trips Mosaic relayout)
+        E = (jnp.maximum(jnp.maximum(M_prev - oe_del, E - e_del), 0) * gate
+             + E * (1 - gate))
+
+        g = jnp.maximum(M - oe_ins, 0) + jb * e_ins
+        F = jnp.maximum(_cummax_excl(g) - (jb - 1) * e_ins, 0)
+        beg = jnp.maximum(i - w, 0)[:, None]
+        F = jnp.where(jb > beg, F, 0)
+
+        H = jnp.maximum(jnp.maximum(M, E), F)
+        H = jnp.where(in_band, H, 0)
+
+        m = jnp.max(H, axis=1)
+        mj = jnp.max(jnp.where(in_band & (H == m[:, None]), jb, -1), axis=1)
+
+        boundary = jnp.where(
+            i <= w, jnp.maximum(h0 - o_del - e_del * (i + 1), 0), 0)
+
+        # gscore update when the band touches the query end:
+        # H_row[qlen] = H_tail[qlen-1] (qlen >= 1 when act)
+        reach_end = act & (i + w + 1 >= qlen)
+        h_last = jnp.sum(
+            jnp.where(jb == qlen[:, None] - 1, H, 0), axis=1)
+        h_last = jnp.where(qlen > 0, h_last, boundary)
+        g_upd = reach_end & (h_last >= gscore)
+        gscore = jnp.where(g_upd, h_last, gscore)
+        max_ie = jnp.where(g_upd, i, max_ie)
+
+        zero_break = act & (m == 0)
+        live = act & ~zero_break
+        better = live & (m > best)
+        best_n = jnp.where(better, m, best)
+        best_i_n = jnp.where(better, i, best_i)
+        best_j_n = jnp.where(better, mj, best_j)
+        max_off_n = jnp.where(
+            better, jnp.maximum(max_off, jnp.abs(mj - i)), max_off)
+        if zdrop > 0:
+            di = i - best_i
+            dj = mj - best_j
+            del_path = di > dj   # select over bools truncates i8->i1,
+            #                      unsupported in Mosaic: use logic ops
+            zcond = ((del_path & (best - m - (di - dj) * e_del > zdrop))
+                     | (~del_path & (best - m - (dj - di) * e_ins > zdrop)))
+            z_break = live & ~better & zcond
+        else:
+            z_break = jnp.zeros_like(zero_break)
+        alive_n = alive & ~zero_break & ~z_break & ((i + 1) < tlen)
+
+        keep = act & ~zero_break & ~z_break
+        # broadcast bool selects trip Mosaic relayout: blend arithmetically
+        k = keep.astype(I32)[:, None]
+        nk = 1 - k
+        H_ref[:, :] = H * k + H_tail * nk
+        E_ref[:, :] = E * k + E_old * nk
+        M_ref[:, :] = M * k + M_prev * nk
+        return (i + 1,
+                jnp.where(keep, boundary, Hb),
+                best_n, best_i_n, best_j_n, max_ie, gscore, max_off_n,
+                alive_n.astype(I32))
+
+    st = jax.lax.while_loop(cond, body, st)
+    (_, _, best, best_i, best_j, max_ie, gscore, max_off, _) = st
+    zeros = jnp.zeros((B,), I32)
+    cols = [best, best_j + 1, best_i + 1, max_ie + 1, gscore, max_off]
+    out = jnp.stack(cols + [zeros, zeros], axis=1)     # [B, 8]
+    out_ref[:, :] = out
+
+
+def _extend_core_pallas(query, qlen, target, tlen, mat, w, h0, end_bonus, *,
+                        o_del: int, e_del: int, o_ins: int, e_ins: int,
+                        zdrop: int, mat_max: int,
+                        interpret: bool = False) -> ExtendBatchResult:
+    """Traceable Pallas core — same contract as ops.extend._extend_core.
+    interpret=True runs the kernel in the Pallas interpreter (CPU tests)."""
+    B, Q = query.shape
+    if B % TILE_B != 0 and B > TILE_B:
+        raise ValueError(f"B={B} must be a multiple of {TILE_B} or smaller")
+    tb = min(B, TILE_B)
+    mat = mat.astype(I32)
+    w = clamp_band_batch(
+        w.astype(I32), qlen.astype(I32), mat_max, o_del, e_del, o_ins,
+        e_ins, end_bonus.astype(I32))
+    col = lambda v: v.astype(I32).reshape(B, 1)  # noqa: E731
+
+    # the scoring matrix is assumed bwa_fill_scmat-structured; its three
+    # distinct values ride along as SMEM scalars
+    sc = jnp.stack([mat[0, 0], mat[0, 1], mat[0, 4]]).reshape(1, 3)
+
+    kern = functools.partial(
+        _kernel, o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+        zdrop=zdrop)
+    grid = (B // tb,)
+    lane = lambda: pl.BlockSpec((tb, 1), lambda i: (i, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, Q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((target.shape[1], tb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            lane(), lane(), lane(), lane(),
+        ],
+        out_specs=pl.BlockSpec((tb, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), I32),
+        scratch_shapes=[
+            pltpu.VMEM((tb, Q), I32),   # H row
+            pltpu.VMEM((tb, Q), I32),   # E
+            pltpu.VMEM((tb, Q), I32),   # M_prev
+        ],
+        interpret=interpret,
+    )(sc.astype(I32), query.astype(I32), target.astype(I32).T, col(qlen),
+      col(tlen), col(w), col(h0))
+    return ExtendBatchResult(
+        score=out[:, 0], qle=out[:, 1], tle=out[:, 2], gtle=out[:, 3],
+        gscore=out[:, 4], max_off=out[:, 5])
+
+
+extend_batch_pallas = jax.jit(
+    _extend_core_pallas,
+    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "zdrop", "mat_max"))
+
+
+def extend_seed_batch_pallas(*args, **kw):
+    """Fused whole-seed extension (ops.extend.extend_seed_batch) running on
+    the VMEM-resident Pallas core — the TPU production path."""
+    from tpubwa.ops.extend import extend_seed_batch
+
+    return extend_seed_batch(*args, core=_extend_core_pallas, **kw)
