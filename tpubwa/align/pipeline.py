@@ -58,12 +58,12 @@ class Aligner:
 
     # ------------------------------------------------ device seeding ----
 
-    def seed_batch(self, codes: np.ndarray, lens: np.ndarray):
-        """Device: SMEMs + seed expansion for a fixed-shape read batch.
+    def seed_batch_dispatch(self, codes: np.ndarray, lens: np.ndarray):
+        """Dispatch device seeding asynchronously; returns a device handle.
 
-        Returns (seed_rows [n, 4] = (read_id, rbeg, qbeg, len), l_rep [B]).
-        Seeds are compacted on device and only the dense prefix is
-        downloaded (device->host bandwidth is the bottleneck)."""
+        Seeding of the *next* read batch overlaps chaining / extension /
+        SAM work of the current one (the driver prefetches one batch
+        ahead — the kt_pipeline overlap, but for the accelerator)."""
         import jax.numpy as jnp
 
         from tpubwa.ops.seeds import compact_seeds
@@ -75,17 +75,30 @@ class Aligner:
                 min_seed_len=opt.min_seed_len, split_len=opt.split_len,
                 split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
                 out_cap=opt.max_smems_per_read)
-        with self.timers.phase("SAL"):
             sb = self._expand(self.di, sm, max_occ=opt.max_occ,
                               out_seeds=opt.max_seeds_per_read)
             cs = compact_seeds(sb)
-            meta = np.asarray(jnp.concatenate([cs.n[None], cs.l_rep]))
+            meta_dev = jnp.concatenate([cs.n[None], cs.l_rep])
+        return cs, meta_dev
+
+    def seed_batch_finish(self, handle):
+        """Block on a dispatched seeding handle; returns
+        (seed_rows [n, 4] = (read_id, rbeg, qbeg, len), l_rep [B]).
+        Seeds were compacted on device; only the dense prefix downloads
+        (device->host bandwidth is the bottleneck)."""
+        cs, meta_dev = handle
+        with self.timers.phase("SAL"):
+            meta = np.asarray(meta_dev)
             n = int(meta[0])
             l_rep = meta[1:]
             # round the prefix length up to bound the number of slice shapes
             n_pad = min(-(-max(n, 1) // 4096) * 4096, cs.packed.shape[0])
             rows = np.asarray(cs.packed[:n_pad])[:n]
         return rows, l_rep
+
+    def seed_batch(self, codes: np.ndarray, lens: np.ndarray):
+        """Synchronous dispatch + finish."""
+        return self.seed_batch_finish(self.seed_batch_dispatch(codes, lens))
 
     # ------------------------------------------------ host chaining ----
 
@@ -127,7 +140,7 @@ class Aligner:
 
     # ------------------------------------------------ full batch ----
 
-    def align_se_batch(self, batch, read_id0: int):
+    def align_se_batch(self, batch, read_id0: int, seed_handle=None):
         """Align a ReadBatch single-end; returns list[list[SamRecord]].
 
         SAM finalization drives all reads' generators in lockstep rounds so
@@ -135,7 +148,9 @@ class Aligner:
         (the reference ran scalar ksw_global2 per alignment in worker_sam)."""
         from tpubwa.utils.rounds import drive_rounds
 
-        seed_rows, l_rep = self.seed_batch(batch.codes, batch.lens)
+        seed_rows, l_rep = (self.seed_batch(batch.codes, batch.lens)
+                            if seed_handle is None
+                            else self.seed_batch_finish(seed_handle))
         chains = self.chain_batch(seed_rows, l_rep, batch.lens)
         regs = self.extend_batch_rounds(batch.codes, batch.lens, chains)
         with self.timers.phase("SAM"):
@@ -214,15 +229,21 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, queue_depth: int = 2
     rt.start()
     wt.start()
     n_done = 0
-    while True:
-        batch = in_q.get()
-        if batch is None:
-            break
-        recs = aligner.align_se_batch(batch, n_done)
+    batch = in_q.get()
+    handle = (aligner.seed_batch_dispatch(batch.codes, batch.lens)
+              if batch is not None else None)
+    while batch is not None:
+        # prefetch: dispatch device seeding of the NEXT batch before doing
+        # the current batch's host-side work, so the accelerator stays busy
+        nxt = in_q.get()
+        nxt_handle = (aligner.seed_batch_dispatch(nxt.codes, nxt.lens)
+                      if nxt is not None else None)
+        recs = aligner.align_se_batch(batch, n_done, seed_handle=handle)
         out_q.put("".join(
             r.line() + "\n" for rlist in recs for r in rlist))
         n_done += batch.n
         print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
+        batch, handle = nxt, nxt_handle
     out_q.put(None)
     wt.join()
     rt.join()
