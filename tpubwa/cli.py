@@ -43,11 +43,18 @@ def cmd_mem(args) -> int:
         if not os.path.exists(f):
             print(f"tpu-bwa mem: no such file: {f}", file=sys.stderr)
             return 1
+    if args.profile:
+        # device trace (SURVEY.md §5 "Tracing / profiling": the reference
+        # prescribed perf record recipes; here jax.profiler captures the
+        # XLA timeline viewable in xprof/tensorboard)
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     try:
         return align_fastq(
-        ref=args.ref,
-        fq1=args.reads1,
-        fq2=args.reads2,
+            ref=args.ref,
+            fq1=args.reads1,
+            fq2=args.reads2,
             out=sys.stdout,
             min_seed_len=args.k,
             threads=args.t,
@@ -57,6 +64,13 @@ def cmd_mem(args) -> int:
     except ValueError as e:
         print(f"tpu-bwa mem: {e}", file=sys.stderr)
         return 1
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[tpu-bwa] device trace written to {args.profile}",
+                  file=sys.stderr)
 
 
 def _enable_compile_cache() -> None:
@@ -93,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("-k", type=int, default=19, help="minimum seed length")
     pm.add_argument("--batch", type=int, default=None,
                     help="reads per device batch")
+    pm.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace into DIR")
     pm.add_argument("ref")
     pm.add_argument("reads1")
     pm.add_argument("reads2", nargs="?", default=None)

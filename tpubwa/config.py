@@ -59,6 +59,8 @@ class MemOptions:
     # balanced batches)
     chunk_size: int = 10_000_000   # bases per pipeline super-chunk
     batch_reads: int = 4096        # reads per device batch
+    mesh_shape: tuple = ()         # device mesh for data-parallel sharding
+    #                                (empty = single device)
     max_read_len: int = 160        # static padded read length on device
     max_smems_per_read: int = 64   # static SMEM capacity per read
     max_seeds_per_read: int = 128  # static seed capacity per read
@@ -67,6 +69,29 @@ class MemOptions:
     @property
     def mapQ_coef_fac(self) -> float:
         return math.log(self.mapQ_coef_len)
+
+    @classmethod
+    def preset(cls, name: str, **overrides) -> "MemOptions":
+        """Topology presets — the reference's runtime dispatcher picked a
+        fat binary per CPU generation ([src] runsimd_arm.cpp, SURVEY.md
+        §2.1); here the moral equivalent is a device-batch / mesh config
+        per TPU topology."""
+        presets = {
+            # host-only development (CPU, possibly a virtual device mesh)
+            "cpu-dev": dict(batch_reads=256),
+            # one v5e chip
+            "v5e-1": dict(batch_reads=4096),
+            # single-host 4-chip slice: reads data-parallel over ICI
+            "v5e-4": dict(batch_reads=16384, mesh_shape=(4,)),
+            # 16-chip pod slice
+            "v5e-16": dict(batch_reads=65536, mesh_shape=(16,)),
+        }
+        if name not in presets:
+            raise ValueError(
+                f"unknown preset {name!r}; choose from {sorted(presets)}")
+        cfg = dict(presets[name])
+        cfg.update(overrides)
+        return cls(**cfg)
 
     @property
     def split_len(self) -> int:
