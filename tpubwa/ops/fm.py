@@ -94,8 +94,11 @@ def ext_core(di: DeviceIndex, kk: jax.Array, ll: jax.Array,
     the backward-prepend update.  Returns (k_b, l_b, s_b), each [..., 4].
     Callers express forward (append) steps by swapping k/l on the way in
     and out (the classic bidirectional-index trick)."""
-    occ_k = occ4(di.cp, di.primary, kk)            # [..., 4]
-    occ_ks = occ4(di.cp, di.primary, kk + s)       # [..., 4]
+    # one fused gather for both endpoints (gathers dominate the chain step)
+    occ2 = occ4(di.cp, di.primary,
+                jnp.stack([kk, kk + s], axis=-1))  # [..., 2, 4]
+    occ_k = occ2[..., 0, :]
+    occ_ks = occ2[..., 1, :]
     s_b = occ_ks - occ_k
     k_b = di.L2[0:4] + occ_k
 
@@ -129,11 +132,18 @@ def backward_ext_all(di: DeviceIndex, ik: BiInterval,
 
 def set_intv(di: DeviceIndex, c: jax.Array) -> BiInterval:
     """Initial bi-interval for a single base c (0..3); c is clipped, callers
-    must mask ambiguous bases themselves."""
+    must mask ambiguous bases themselves.  L2 lookups are mask-sums (tiny
+    table gathers are slow on TPU)."""
     c = jnp.clip(c, 0, 3).astype(jnp.int32)
-    k = di.L2[c]
-    s = di.L2[c + 1] - di.L2[c]
-    l = di.L2[3 - c]
+    ids = jnp.arange(5, dtype=jnp.int32)
+
+    def pick(idx):
+        sel = ids == idx[..., None]
+        return jnp.sum(jnp.where(sel, di.L2, 0), axis=-1)
+
+    k = pick(c)
+    s = pick(c + 1) - k
+    l = pick(3 - c)
     return BiInterval(k=k, l=l, s=s)
 
 

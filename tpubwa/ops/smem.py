@@ -47,9 +47,11 @@ def _take_q(q: jax.Array, i: jax.Array) -> jax.Array:
 
 
 def _pick_base(arr4: jax.Array, c: jax.Array) -> jax.Array:
-    """arr4: [..., 4]; c: [...] -> arr4[..., c]."""
-    return jnp.take_along_axis(arr4, jnp.clip(c, 0, 3)[..., None],
-                               axis=-1)[..., 0]
+    """arr4: [..., 4]; c: [...] -> arr4[..., c].  Mask-sum instead of a
+    gather: tiny-minor-dim gathers are slow on TPU."""
+    ids = jnp.arange(4, dtype=jnp.int32)
+    sel = ids == jnp.clip(c, 0, 3)[..., None]
+    return jnp.sum(jnp.where(sel, arr4, 0), axis=-1)
 
 
 def _append(arrs, n, vals, mask, cap):

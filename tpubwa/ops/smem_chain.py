@@ -40,6 +40,20 @@ BIG = jnp.int32(1 << 30)
 
 FRESH, FWD, BWD, DONE = 0, 1, 2, 3
 
+# TPU while_loops pay a large fixed cost per iteration; every chain step is
+# fully masked (DONE lanes are no-ops), so running UNROLL steps per loop
+# iteration amortizes that cost without changing results.
+UNROLL = 4
+
+
+def _unrolled(step):
+    def body(st):
+        for _ in range(UNROLL):
+            st = step(st)
+        return st
+    return body
+
+
 
 def _bulk_append(mems: Smems, mask: jax.Array, k, l, s, start, end,
                  out_cap: int) -> Smems:
@@ -99,7 +113,6 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     lens = lens.astype(I32)
     rowsB = jnp.arange(B)
     zeroB = jnp.zeros((B,), I32)
-    zbuf = jnp.zeros((B, cap), I32)
 
     st = dict(
         mode=jnp.where(lens > 0, jnp.full((B,), FRESH, I32),
@@ -107,14 +120,14 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         i=zeroB, j=zeroB, start=zeroB, e_anchor=zeroB,
         k=zeroB, l=zeroB, s=zeroB,
         bk=zeroB, bl=zeroB, bs=zeroB,
-        mk=zbuf, ml=zbuf, ms=zbuf, mstart=zbuf, mend=zbuf,
+        m5=jnp.zeros((B, cap, 5), I32),
         mn=zeroB, ovf=jnp.zeros((B,), bool),
     )
 
     def cond(st):
         return jnp.any(st["mode"] != DONE)
 
-    def body(st):
+    def step(st):
         mode, i, j = st["mode"], st["i"], st["j"]
         fresh = mode == FRESH
         fwd = mode == FWD
@@ -150,16 +163,13 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         # emissions (at most one per lane per iteration)
         slot = jnp.minimum(st["mn"], cap - 1)
         eok = emit & (st["mn"] < cap)
-
-        def put(buf, val):
-            cur = buf[rowsB, slot]
-            return buf.at[rowsB, slot].set(jnp.where(eok, val, cur))
-
-        mk = put(st["mk"], st["k"])
-        ml = put(st["ml"], st["l"])
-        ms = put(st["ms"], st["s"])
-        mstart = put(st["mstart"], st["start"])
-        mend = put(st["mend"], i)
+        # one packed scatter for the 5 emission fields (gathers/scatters
+        # dominate the chain step cost)
+        vals = jnp.stack(
+            [st["k"], st["l"], st["s"], st["start"], i], axis=-1)
+        cur = st["m5"][rowsB, slot]
+        m5 = st["m5"].at[rowsB, slot].set(
+            jnp.where(eok[:, None], vals, cur))
         mn = st["mn"] + eok.astype(I32)
         ovf = st["ovf"] | (emit & (st["mn"] >= cap))
 
@@ -198,12 +208,14 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
             mode=new_mode, i=new_i, j=new_j, start=new_start,
             e_anchor=new_anchor,
             k=new_k, l=new_l, s=new_s, bk=new_bk, bl=new_bl, bs=new_bs,
-            mk=mk, ml=ml, ms=ms, mstart=mstart, mend=mend, mn=mn, ovf=ovf,
+            m5=m5, mn=mn, ovf=ovf,
         )
 
-    st = jax.lax.while_loop(cond, body, st)
-    return Smems(k=st["mk"], l=st["ml"], s=st["ms"], start=st["mstart"],
-                 end=st["mend"], n=st["mn"], overflow=st["ovf"])
+    st = jax.lax.while_loop(cond, _unrolled(step), st)
+    m5 = st["m5"]
+    return Smems(k=m5[..., 0], l=m5[..., 1], s=m5[..., 2],
+                 start=m5[..., 3], end=m5[..., 4], n=st["mn"],
+                 overflow=st["ovf"])
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "cap"))
@@ -220,7 +232,6 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     G = rd.shape[0]
     rowsG = jnp.arange(G)
     zeroG = jnp.zeros((G,), I32)
-    zbuf = jnp.zeros((G, cap), I32)
     qg = q[rd]                       # [G, L] (gather rows once)
     leng = lens[rd]
 
@@ -232,14 +243,14 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         i=zeroG, j=mid - 1, start=mid, e_anchor=mid + 1,
         k=zeroG, l=zeroG, s=zeroG,
         bk=iv0.k, bl=iv0.l, bs=iv0.s,
-        mk=zbuf, ml=zbuf, ms=zbuf, mstart=zbuf, mend=zbuf,
+        m5=jnp.zeros((G, cap, 5), I32),
         mn=zeroG, ovf=jnp.zeros((G,), bool),
     )
 
     def cond(st):
         return jnp.any(st["mode"] != DONE)
 
-    def body(st):
+    def step(st):
         mode, i, j = st["mode"], st["i"], st["j"]
         fwd = mode == FWD
         bwd = mode == BWD
@@ -266,16 +277,11 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
 
         slot = jnp.minimum(st["mn"], cap - 1)
         eok = emit & (st["mn"] < cap)
-
-        def put(buf, val):
-            cur = buf[rowsG, slot]
-            return buf.at[rowsG, slot].set(jnp.where(eok, val, cur))
-
-        mk = put(st["mk"], st["k"])
-        ml = put(st["ml"], st["l"])
-        ms = put(st["ms"], st["s"])
-        mstart = put(st["mstart"], st["start"])
-        mend = put(st["mend"], i)
+        vals = jnp.stack(
+            [st["k"], st["l"], st["s"], st["start"], i], axis=-1)
+        cur = st["m5"][rowsG, slot]
+        m5 = st["m5"].at[rowsG, slot].set(
+            jnp.where(eok[:, None], vals, cur))
         mn = st["mn"] + eok.astype(I32)
         ovf = st["ovf"] | (emit & (st["mn"] >= cap))
 
@@ -307,12 +313,14 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
             mode=new_mode, i=new_i, j=new_j, start=new_start,
             e_anchor=new_anchor,
             k=new_k, l=new_l, s=new_s, bk=new_bk, bl=new_bl, bs=new_bs,
-            mk=mk, ml=ml, ms=ms, mstart=mstart, mend=mend, mn=mn, ovf=ovf,
+            m5=m5, mn=mn, ovf=ovf,
         )
 
-    st = jax.lax.while_loop(cond, body, st)
-    return Smems(k=st["mk"], l=st["ml"], s=st["ms"], start=st["mstart"],
-                 end=st["mend"], n=st["mn"], overflow=st["ovf"])
+    st = jax.lax.while_loop(cond, _unrolled(step), st)
+    m5 = st["m5"]
+    return Smems(k=m5[..., 0], l=m5[..., 1], s=m5[..., 2],
+                 start=m5[..., 3], end=m5[..., 4], n=st["mn"],
+                 overflow=st["ovf"])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -327,7 +335,6 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     lens = lens.astype(I32)
     rowsB = jnp.arange(B)
     zeroB = jnp.zeros((B,), I32)
-    zbuf = jnp.zeros((B, cap), I32)
 
     EXT3 = 1
     st = dict(
@@ -335,14 +342,14 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
                        jnp.full((B,), DONE, I32)),
         i=zeroB, x=zeroB,
         k=zeroB, l=zeroB, s=zeroB,
-        mk=zbuf, ml=zbuf, ms=zbuf, mstart=zbuf, mend=zbuf,
+        m5=jnp.zeros((B, cap, 5), I32),
         mn=zeroB, ovf=jnp.zeros((B,), bool),
     )
 
     def cond(st):
         return jnp.any(st["mode"] != DONE)
 
-    def body(st):
+    def step(st):
         mode, i = st["mode"], st["i"]
         fresh = mode == FRESH
         ext3 = mode == EXT3
@@ -368,16 +375,10 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
 
         slot = jnp.minimum(st["mn"], cap - 1)
         eok = found & (st["mn"] < cap)
-
-        def put(buf, val):
-            cur = buf[rowsB, slot]
-            return buf.at[rowsB, slot].set(jnp.where(eok, val, cur))
-
-        mk = put(st["mk"], nk)
-        ml = put(st["ml"], nl)
-        ms = put(st["ms"], ns)
-        mstart = put(st["mstart"], st["x"])
-        mend = put(st["mend"], i + 1)
+        vals = jnp.stack([nk, nl, ns, st["x"], i + 1], axis=-1)
+        cur = st["m5"][rowsB, slot]
+        m5 = st["m5"].at[rowsB, slot].set(
+            jnp.where(eok[:, None], vals, cur))
         mn = st["mn"] + eok.astype(I32)
         ovf = st["ovf"] | (found & (st["mn"] >= cap))
 
@@ -394,12 +395,14 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         return dict(
             mode=new_mode, i=new_i, x=new_x,
             k=new_k, l=new_l, s=new_s,
-            mk=mk, ml=ml, ms=ms, mstart=mstart, mend=mend, mn=mn, ovf=ovf,
+            m5=m5, mn=mn, ovf=ovf,
         )
 
-    st = jax.lax.while_loop(cond, body, st)
-    return Smems(k=st["mk"], l=st["ml"], s=st["ms"], start=st["mstart"],
-                 end=st["mend"], n=st["mn"], overflow=st["ovf"])
+    st = jax.lax.while_loop(cond, _unrolled(step), st)
+    m5 = st["m5"]
+    return Smems(k=m5[..., 0], l=m5[..., 1], s=m5[..., 2],
+                 start=m5[..., 3], end=m5[..., 4], n=st["mn"],
+                 overflow=st["ovf"])
 
 
 @functools.partial(jax.jit, static_argnames=(
