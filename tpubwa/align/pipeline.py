@@ -32,7 +32,7 @@ class Aligner:
 
         from tpubwa.ops.extend import extend_seed_batch
         from tpubwa.ops.fm import DeviceIndex
-        from tpubwa.ops.seeds import smems_to_seeds
+        from tpubwa.ops.seeds import seed_rows
         from tpubwa.ops.smem_chain import collect_smems_chain
 
         self.idx = idx
@@ -46,7 +46,8 @@ class Aligner:
         import jax
 
         self._collect = collect_smems_chain
-        self._expand = smems_to_seeds
+        self._expand = seed_rows
+        self.n_overflow = 0  # reads whose SMEM/seed buffers overflowed
         if jax.devices()[0].platform == "tpu":
             # production path: VMEM-resident Pallas DP core
             from tpubwa.ops.extend_pallas import extend_seed_batch_pallas
@@ -66,8 +67,6 @@ class Aligner:
         ahead — the kt_pipeline overlap, but for the accelerator)."""
         import jax.numpy as jnp
 
-        from tpubwa.ops.seeds import compact_seeds
-
         opt = self.opt
         with self.timers.phase("SMEM"):
             sm = self._collect(
@@ -75,10 +74,10 @@ class Aligner:
                 min_seed_len=opt.min_seed_len, split_len=opt.split_len,
                 split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
                 out_cap=opt.max_smems_per_read)
-            sb = self._expand(self.di, sm, max_occ=opt.max_occ,
-                              out_seeds=opt.max_seeds_per_read)
-            cs = compact_seeds(sb)
-            meta_dev = jnp.concatenate([cs.n[None], cs.l_rep])
+            cs = self._expand(self.di, sm, max_occ=opt.max_occ,
+                              per_read_cap=opt.max_seeds_per_read)
+            ovf = (sm.overflow | cs.overflow).astype(jnp.int32)
+            meta_dev = jnp.concatenate([cs.n[None], cs.l_rep, ovf])
         return cs, meta_dev
 
     def seed_batch_finish(self, handle):
@@ -90,7 +89,16 @@ class Aligner:
         with self.timers.phase("SAL"):
             meta = np.asarray(meta_dev)
             n = int(meta[0])
-            l_rep = meta[1:]
+            B = (len(meta) - 1) // 2
+            l_rep = meta[1:1 + B]
+            n_ovf = int(meta[1 + B:].sum())
+            if n_ovf:
+                # the reference's MAX_SEED_HITS was explicit, logged
+                # behavior (PHASE4_WEEK3_SEED_FILTERING.md) — never silent
+                self.n_overflow += n_ovf
+                print(f"[tpu-bwa] warning: {n_ovf} read(s) exceeded "
+                      "SMEM/seed buffer caps; their seed lists were "
+                      "truncated", file=sys.stderr)
             # round the prefix length up to bound the number of slice shapes
             n_pad = min(-(-max(n, 1) // 4096) * 4096, cs.packed.shape[0])
             rows = np.asarray(cs.packed[:n_pad])[:n]

@@ -102,6 +102,90 @@ class CompactSeeds(NamedTuple):
     #                     in (read, slot) order; rows >= n are zero
     n: jax.Array        # [] int32 number of valid rows
     l_rep: jax.Array    # [B] int32
+    overflow: jax.Array  # [B] bool per-read seed-cap overflow
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ", "per_read_cap",
+                                             "rows_per_read"))
+def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
+              per_read_cap: int = 128, rows_per_read: int = 32
+              ) -> CompactSeeds:
+    """SMEMs -> dense [CAP, 4] seed rows (read_id, rbeg, qbeg, len) directly
+    in compacted global layout (read-major, SMEM order within read).
+
+    Fuses smems_to_seeds + compact_seeds without the padded [B, S]
+    intermediate: per-SMEM hit counts (with bwa's occ/max_occ stride
+    sampling) are laid out by a global cumsum; the slot->SMEM owner map is
+    one scatter + cummax instead of an O(B*M*S) compare.  Semantically
+    identical to smems_to_seeds row enumeration (tests pin equality).
+    CAP = B * rows_per_read bounds the dense output; per-read totals are
+    still capped at per_read_cap (the MAX_SEED_HITS analog) with per-read
+    overflow flags.
+    """
+    B, M = sm.k.shape
+    S = per_read_cap
+    CAP = B * rows_per_read
+    in_use = jnp.arange(M)[None, :] < sm.n[:, None]
+    occ = jnp.where(in_use, sm.s, 0)
+    step = jnp.where(occ > max_occ, occ // max_occ, 1)
+    cnt = jnp.minimum(occ, max_occ)
+
+    # per-read prefix, truncated at the per-read cap S
+    off_end_r = jnp.cumsum(cnt, axis=1)
+    off_beg_r = off_end_r - cnt
+    ob = jnp.minimum(off_beg_r, S)
+    oe = jnp.minimum(off_end_r, S)
+    cnt2 = oe - ob
+    read_tot = oe[:, -1] if M > 0 else jnp.zeros((B,), I32)
+    read_ovf = off_end_r[:, -1] > S
+
+    # global layout: read b's seeds occupy [base[b], base[b] + read_tot[b])
+    base = jnp.cumsum(read_tot) - read_tot
+    n_total = jnp.minimum(base[-1] + read_tot[-1], CAP)
+    g_beg = base[:, None] + ob                              # [B, M]
+
+    # owner map: scatter each live SMEM's flat id at its first slot, cummax
+    flat_id = jnp.arange(B * M, dtype=I32)
+    live = (cnt2 > 0).reshape(-1)
+    dst = jnp.where(live, g_beg.reshape(-1), CAP)
+    owner = jnp.full((CAP,), -1, I32).at[dst].max(flat_id, mode="drop")
+    owner = jax.lax.cummax(owner)
+    owner = jnp.clip(owner, 0, B * M - 1)
+
+    t = jnp.arange(CAP, dtype=I32)
+    valid = t < n_total
+    rd = owner // M
+    j = t - g_beg.reshape(-1)[owner]
+    sa_row = sm.k.reshape(-1)[owner] + j * step.reshape(-1)[owner]
+    rbeg = di.sa[jnp.clip(sa_row, 0, di.sa.shape[0] - 1)]
+    qbeg = sm.start.reshape(-1)[owner]
+    slen = sm.end.reshape(-1)[owner] - qbeg
+
+    # drop seeds bridging the forward/reverse strand boundary
+    bridge = (rbeg < di.l_pac) & (rbeg + slen > di.l_pac)
+    keep = valid & ~bridge
+
+    # compact the (rare) bridge-dropped rows out of the dense prefix
+    k32 = keep.astype(I32)
+    pos = jnp.cumsum(k32) - k32
+    out_dst = jnp.where(keep, pos, CAP)
+    rows = jnp.stack([rd, rbeg, qbeg, slen], axis=1)
+    packed = jnp.zeros((CAP, 4), I32).at[out_dst].set(rows, mode="drop")
+    n = jnp.sum(k32)
+
+    # l_rep: union length of query intervals of repetitive SMEMs (vectorized
+    # interval union; SMEMs are sorted by start within each read)
+    rep = in_use & (sm.s > max_occ)
+    end_m = jnp.where(rep, sm.end, 0)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), I32), jax.lax.cummax(end_m, axis=1)[:, :-1]],
+        axis=1)
+    contrib = jnp.where(
+        rep, jnp.maximum(0, sm.end - jnp.maximum(sm.start, prev)), 0)
+    l_rep = jnp.sum(contrib, axis=1)
+
+    ovf = read_ovf | (base + read_tot > CAP)
+    return CompactSeeds(packed=packed, n=n, l_rep=l_rep, overflow=ovf)
 
 
 @jax.jit
@@ -126,4 +210,5 @@ def compact_seeds(sb: SeedBatch) -> CompactSeeds:
         [read_id, sb.rbeg.reshape(-1), sb.qbeg.reshape(-1),
          sb.len.reshape(-1)], axis=1)
     packed = jnp.zeros((B * S, 4), I32).at[dst].set(rows, mode="drop")
-    return CompactSeeds(packed=packed, n=pos[-1] + 1, l_rep=sb.l_rep)
+    return CompactSeeds(packed=packed, n=pos[-1] + 1, l_rep=sb.l_rep,
+                        overflow=sb.overflow)

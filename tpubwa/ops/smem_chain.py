@@ -43,7 +43,7 @@ FRESH, FWD, BWD, DONE = 0, 1, 2, 3
 # TPU while_loops pay a large fixed cost per iteration; every chain step is
 # fully masked (DONE lanes are no-ops), so running UNROLL steps per loop
 # iteration amortizes that cost without changing results.
-UNROLL = 4
+UNROLL = 8
 
 
 def _unrolled(step):
@@ -79,10 +79,14 @@ def _bulk_append(mems: Smems, mask: jax.Array, k, l, s, start, end,
 
 
 def _take_q(q: jax.Array, i: jax.Array) -> jax.Array:
-    """q: [B, L] or [lanes, L]-indexed by row map; i: same leading shape."""
+    """q: [B, L] or [lanes, L]-indexed by row map; i: same leading shape.
+
+    Mask-sum instead of take_along_axis: per-lane gathers cost ~35-50us
+    each on TPU regardless of table size, while an L=160 compare+reduce is
+    pure VPU vector math."""
     L = q.shape[-1]
-    qi = jnp.take_along_axis(q, jnp.clip(i, 0, L - 1)[..., None],
-                             axis=-1)[..., 0]
+    ids = jax.lax.broadcasted_iota(I32, q.shape, q.ndim - 1)
+    qi = jnp.sum(jnp.where(ids == i[..., None], q, 0), axis=-1)
     return jnp.where((i >= 0) & (i < L), qi, 4)
 
 
@@ -111,7 +115,7 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     B, L = q.shape
     q = q.astype(I32)
     lens = lens.astype(I32)
-    rowsB = jnp.arange(B)
+    slotsC = jnp.arange(cap, dtype=I32)
     zeroB = jnp.zeros((B,), I32)
 
     st = dict(
@@ -160,16 +164,14 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         b_fail = bwd & ((j < 0) | (qj > 3) | (ns < 1))
         b_take = bwd & ~b_fail
 
-        # emissions (at most one per lane per iteration)
-        slot = jnp.minimum(st["mn"], cap - 1)
+        # emissions (at most one per lane per iteration) as a masked select
+        # over the [B, cap] slot axis: scatters cost ~0.4ms/step on TPU,
+        # a compare+select over B*cap*5 elems is ~free VPU math
         eok = emit & (st["mn"] < cap)
-        # one packed scatter for the 5 emission fields (gathers/scatters
-        # dominate the chain step cost)
         vals = jnp.stack(
             [st["k"], st["l"], st["s"], st["start"], i], axis=-1)
-        cur = st["m5"][rowsB, slot]
-        m5 = st["m5"].at[rowsB, slot].set(
-            jnp.where(eok[:, None], vals, cur))
+        upd = eok[:, None] & (slotsC == st["mn"][:, None])
+        m5 = jnp.where(upd[:, :, None], vals[:, None, :], st["m5"])
         mn = st["mn"] + eok.astype(I32)
         ovf = st["ovf"] | (emit & (st["mn"] >= cap))
 
@@ -230,7 +232,7 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     occ threshold / active.  Returns Smems with [G, cap] buffers (emissions
     in ascending-start order per lane, matching fm_ref.smem1 output)."""
     G = rd.shape[0]
-    rowsG = jnp.arange(G)
+    slotsC = jnp.arange(cap, dtype=I32)
     zeroG = jnp.zeros((G,), I32)
     qg = q[rd]                       # [G, L] (gather rows once)
     leng = lens[rd]
@@ -275,13 +277,11 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         b_root = jnp.where(b_fail, j + 1, st["start"])
         b_over = b_fail & (b_root > mid)     # next root past mid -> done
 
-        slot = jnp.minimum(st["mn"], cap - 1)
         eok = emit & (st["mn"] < cap)
         vals = jnp.stack(
             [st["k"], st["l"], st["s"], st["start"], i], axis=-1)
-        cur = st["m5"][rowsG, slot]
-        m5 = st["m5"].at[rowsG, slot].set(
-            jnp.where(eok[:, None], vals, cur))
+        upd = eok[:, None] & (slotsC == st["mn"][:, None])
+        m5 = jnp.where(upd[:, :, None], vals[:, None, :], st["m5"])
         mn = st["mn"] + eok.astype(I32)
         ovf = st["ovf"] | (emit & (st["mn"] >= cap))
 
@@ -333,7 +333,7 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     B, L = q.shape
     q = q.astype(I32)
     lens = lens.astype(I32)
-    rowsB = jnp.arange(B)
+    slotsC = jnp.arange(cap, dtype=I32)
     zeroB = jnp.zeros((B,), I32)
 
     EXT3 = 1
@@ -373,12 +373,10 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         found = hit & (ns > 0)
         adv = can & ~hit
 
-        slot = jnp.minimum(st["mn"], cap - 1)
         eok = found & (st["mn"] < cap)
         vals = jnp.stack([nk, nl, ns, st["x"], i + 1], axis=-1)
-        cur = st["m5"][rowsB, slot]
-        m5 = st["m5"].at[rowsB, slot].set(
-            jnp.where(eok[:, None], vals, cur))
+        upd = eok[:, None] & (slotsC == st["mn"][:, None])
+        m5 = jnp.where(upd[:, :, None], vals[:, None, :], st["m5"])
         mn = st["mn"] + eok.astype(I32)
         ovf = st["ovf"] | (found & (st["mn"] >= cap))
 
