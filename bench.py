@@ -99,12 +99,19 @@ def main() -> int:
     ref_fa, fq1, fq2 = _ensure_fixture(ref_mb, n_reads, pe)
 
     from tpubwa.align.pipeline import align_fastq
+    from tpubwa.cli import _enable_compile_cache
+    from tpubwa.config import MemOptions
 
-    # warmup: compile every device program on a small slice
+    _enable_compile_cache()
+
+    # warmup: compile every device program at the PRODUCTION batch shape
+    # (a smaller warm batch would leave the real shapes to compile inside
+    # the timed region — the round-1 bench's mistake)
+    warm_n = MemOptions().batch_reads
     warm_fq = os.path.join(_work_dir(), "warm.fq")
     with open(fq1) as f, open(warm_fq, "w") as w:
         for i, line in enumerate(f):
-            if i >= 4 * 512:
+            if i >= 4 * warm_n:
                 break
             w.write(line)
     t = time.monotonic()
