@@ -117,6 +117,87 @@ def chain_read(opt: MemOptions, l_pac: int, contig_offsets: np.ndarray,
     return chains
 
 
+@dataclasses.dataclass
+class ChainBatch:
+    """Kept chains of a whole read batch, as flat arrays (native fast path
+    output).  Chains appear grouped by read, in filter order (weight
+    descending) within each read."""
+
+    read: np.ndarray      # int32 [n_chains] read index within the batch
+    rid: np.ndarray       # int32 [n_chains]
+    w: np.ndarray         # int32 [n_chains] chain weight
+    off: np.ndarray       # int64 [n_chains + 1] into `seeds`
+    seeds: np.ndarray     # int64 [m, 3] (rbeg, qbeg, len), chain order
+
+    @property
+    def n(self) -> int:
+        return len(self.read)
+
+    def to_lists(self, n_reads: int, l_rep: np.ndarray,
+                 lens: np.ndarray) -> list[list[Chain]]:
+        """Expand to the list[list[Chain]] object form (compat/tests)."""
+        out: list[list[Chain]] = [[] for _ in range(n_reads)]
+        for c in range(self.n):
+            b = int(self.read[c])
+            seeds = [Seed(int(r[0]), int(r[1]), int(r[2]), int(r[2]))
+                     for r in self.seeds[self.off[c]:self.off[c + 1]]]
+            fr = float(l_rep[b]) / float(lens[b]) if lens[b] else 0.0
+            out[b].append(Chain(pos=seeds[0].rbeg, rid=int(self.rid[c]),
+                                seeds=seeds, w=int(self.w[c]), frac_rep=fr))
+        return out
+
+
+def chain_filter_batch_native(opt: MemOptions, l_pac: int,
+                              contig_offsets: np.ndarray,
+                              seed_rows: np.ndarray, bounds: np.ndarray,
+                              skip: np.ndarray) -> ChainBatch | None:
+    """Chain + filter a whole batch in one native call (native/chain.cpp).
+    Returns None when the native library is unavailable (callers fall back
+    to the per-read Python reference)."""
+    import ctypes
+
+    from tpubwa.native import load_native
+
+    lib = load_native()
+    if lib is None:
+        return None
+    seed_rows = np.ascontiguousarray(seed_rows, dtype=np.int64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    skip = np.ascontiguousarray(skip, dtype=np.uint8)
+    offs = np.ascontiguousarray(contig_offsets, dtype=np.int64)
+    n_seeds = len(seed_rows)
+    n_reads = len(bounds) - 1
+    cap = max(n_seeds, 1)
+    chain_read_a = np.empty(cap, np.int32)
+    chain_rid = np.empty(cap, np.int32)
+    chain_w = np.empty(cap, np.int32)
+    chain_off = np.empty(cap + 1, np.int64)
+    seed_idx = np.empty(max(n_seeds, 1), np.int64)
+    counts = np.zeros(2, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.chain_filter_batch(
+        seed_rows.ctypes.data_as(i64p), n_seeds,
+        bounds.ctypes.data_as(i64p), n_reads,
+        skip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(i64p), len(offs), l_pac,
+        opt.w, opt.max_chain_gap, opt.min_chain_weight,
+        opt.max_chain_extend, opt.mask_level, opt.drop_ratio,
+        opt.min_seed_len,
+        chain_read_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        chain_rid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        chain_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        chain_off.ctypes.data_as(i64p),
+        seed_idx.ctypes.data_as(i64p), cap,
+        counts.ctypes.data_as(i64p))
+    if rc != 0:
+        raise RuntimeError("chain_filter_batch capacity exceeded")
+    nc, ns = int(counts[0]), int(counts[1])
+    return ChainBatch(
+        read=chain_read_a[:nc], rid=chain_rid[:nc], w=chain_w[:nc],
+        off=chain_off[:nc + 1].copy(),
+        seeds=seed_rows[seed_idx[:ns]][:, 1:4])
+
+
 def chain_weight(c: Chain) -> int:
     """min(query coverage, reference coverage) of the chain's seeds."""
     w_q = 0

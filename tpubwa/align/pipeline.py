@@ -117,6 +117,12 @@ class Aligner:
         with self.timers.phase("CHAIN"):
             # seed rows are in (read, slot) order: per-read segments
             bounds = np.searchsorted(seed_rows[:, 0], np.arange(B + 1))
+            skip = (np.asarray(lens) < opt.min_seed_len).astype(np.uint8)
+            cb = chainmod.chain_filter_batch_native(
+                opt, self.idx.l_pac, self.contig_offsets, seed_rows,
+                bounds, skip)
+            if cb is not None:
+                return cb.to_lists(B, l_rep, lens)
             for b in range(B):
                 if lens[b] < opt.min_seed_len:
                     chains_per_read.append([])

@@ -11,44 +11,10 @@ SA[0] == n.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libtpubwa.so")
-_lib = None
-_lib_failed = False
-
-
-def _load_native():
-    global _lib, _lib_failed
-    if _lib is not None or _lib_failed:
-        return _lib
-    try:
-        if not os.path.exists(_SO_PATH) or (
-            os.path.getmtime(_SO_PATH)
-            < os.path.getmtime(os.path.join(_NATIVE_DIR, "sais.cpp"))
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_PATH,
-                 os.path.join(_NATIVE_DIR, "sais.cpp")],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.sais_u8.restype = ctypes.c_int
-        lib.sais_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int64]
-        lib.bwt_from_sa.restype = ctypes.c_int
-        lib.bwt_from_sa.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int64)]
-        _lib = lib
-    except Exception:
-        _lib_failed = True
-    return _lib
+from tpubwa.native.build import load_native as _load_native
 
 
 def suffix_array(codes: np.ndarray, use_native: bool | None = None) -> np.ndarray:

@@ -1,0 +1,71 @@
+"""Lazy build + load of the native host library (libtpubwa.so).
+
+All C++ sources in this directory compile into one shared library, loaded
+via ctypes.  Reference analog: the bwa-mem2 Makefile's native build
+(SURVEY.md §2.1 "Build system"); here the native pieces are the host-side
+runtime helpers (SA-IS index construction, seed chaining, SAM assembly)
+around the JAX/Pallas device compute path.
+"""
+from __future__ import annotations
+
+import ctypes
+import glob
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_DIR, "libtpubwa.so")
+_lib = None
+_lib_failed = False
+
+
+def _sources() -> list[str]:
+    return sorted(glob.glob(os.path.join(_DIR, "*.cpp")))
+
+
+def load_native():
+    """Build (if stale) and load libtpubwa.so; returns None on failure so
+    callers can fall back to their NumPy paths."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        srcs = _sources()
+        stale = not os.path.exists(_SO_PATH) or any(
+            os.path.getmtime(_SO_PATH) < os.path.getmtime(s) for s in srcs)
+        if stale:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _SO_PATH] + srcs,
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        _declare(lib)
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+    return _lib
+
+
+def _declare(lib) -> None:
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    i32p = c.POINTER(c.c_int32)
+    i64p = c.POINTER(c.c_int64)
+
+    lib.sais_u8.restype = c.c_int
+    lib.sais_u8.argtypes = [u8p, i64p, c.c_int64, c.c_int64]
+
+    lib.bwt_from_sa.restype = c.c_int
+    lib.bwt_from_sa.argtypes = [u8p, i64p, c.c_int64, u8p, i64p]
+
+    lib.chain_filter_batch.restype = c.c_int
+    lib.chain_filter_batch.argtypes = [
+        i64p, c.c_int64,          # seed_rows, n_seeds
+        i64p, c.c_int64,          # read_bounds, n_reads
+        u8p,                      # skip_read
+        i64p, c.c_int64, c.c_int64,   # contig_offsets, n_contigs, l_pac
+        c.c_int32, c.c_int32, c.c_int32, c.c_int64,  # w, gap, minw, maxext
+        c.c_double, c.c_double, c.c_int32,  # mask_level, drop_ratio, minseed
+        i32p, i32p, i32p, i64p, i64p, c.c_int64,  # outputs + cap
+        i64p,                     # out_counts
+    ]
