@@ -114,14 +114,15 @@ def main() -> int:
             if i >= 4 * warm_n:
                 break
             w.write(line)
+    threads = int(os.environ.get("TPUBWA_BENCH_THREADS", "3"))
     t = time.monotonic()
-    align_fastq(ref_fa, warm_fq, None, _NullOut())
+    align_fastq(ref_fa, warm_fq, None, _NullOut(), threads=threads)
     print(f"[bench] warmup (compile) {time.monotonic()-t:.1f}s",
           file=sys.stderr)
 
     sink = _NullOut()
     t0 = time.monotonic()
-    align_fastq(ref_fa, fq1, fq2, sink)
+    align_fastq(ref_fa, fq1, fq2, sink, threads=threads)
     dt = time.monotonic() - t0
 
     rps = n_reads / dt

@@ -98,6 +98,23 @@ def test_golden_repeat_determinism(golden_out, tmp_path):
     assert golden_out[1] == b_pe
 
 
+def test_golden_multiworker_identity(golden_out, tmp_path):
+    """`-t N` workers must not change output: batches are processed by a
+    thread pool but emitted in input order, so SAM is byte-identical to the
+    single-worker run regardless of scheduling."""
+    from tpubwa.align.pipeline import align_fastq
+
+    ref, se_fq, fq1, fq2 = _build_fixture(str(tmp_path))
+    buf_se = io.StringIO()
+    assert align_fastq(ref, se_fq, None, buf_se, batch_reads=64,
+                       threads=3) == 0
+    assert _strip_pg(buf_se.getvalue()) == golden_out[0]
+    buf_pe = io.StringIO()
+    assert align_fastq(ref, fq1, fq2, buf_pe, batch_reads=64,
+                       threads=3) == 0
+    assert _strip_pg(buf_pe.getvalue()) == golden_out[1]
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         import tempfile

@@ -437,7 +437,8 @@ def pe_end_records_g(opt: MemOptions, idx: FMIndex, name: str, seq: str,
 
 # --------------------------------------------------------- PE driver ----
 
-def align_pe_fastq(aligner, fq1: str, fq2: str, out) -> int:
+def align_pe_fastq(aligner, fq1: str, fq2: str, out,
+                   workers: int = 1) -> int:
     from tpubwa.io.fastq import batch_reads, read_fastq
     from tpubwa.ops.localsw import localsw_batch
     from tpubwa.utils.rounds import drive_rounds

@@ -198,69 +198,101 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
     if fq2 is not None:
         from tpubwa.align.pair import align_pe_fastq
 
-        return align_pe_fastq(aligner, fq1, fq2, out)
+        return align_pe_fastq(aligner, fq1, fq2, out, workers=threads)
 
-    run_se_pipeline(aligner, fq1, out)
+    run_se_pipeline(aligner, fq1, out, workers=threads)
     print(aligner.timers.report(), file=sys.stderr)
     return 0
 
 
-def run_se_pipeline(aligner: Aligner, fq1: str, out, queue_depth: int = 2
+def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1
                     ) -> int:
-    """3-stage pipelined SE driver: FASTQ reader thread -> device compute
-    (main thread) -> SAM writer thread, double-buffered through bounded
-    queues.  Reference analog: fastmap.cpp's kt_pipeline (SURVEY.md §3.1
-    stage 1 read / stage 2 MEM_PROCESS_SEQ / stage 3 write)."""
+    """Pipelined SE driver: FASTQ reader thread -> ``workers`` aligner
+    threads (each owns whole batches; device calls from all workers
+    interleave on the chip's stream while host Python of one batch overlaps
+    device waits of another) -> ordered SAM writer.  Reference analog:
+    fastmap.cpp's kt_pipeline + kt_for workers (SURVEY.md §3.1); ``-t``
+    drives the worker count like the reference's thread flag."""
+    import heapq
     import queue
     import threading
 
     from tpubwa.io.fastq import stream_batches
 
     opt = aligner.opt
-    in_q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
-    out_q: "queue.Queue" = queue.Queue(maxsize=queue_depth * 2)
+    workers = max(1, min(int(workers), 8))
+    in_q: "queue.Queue" = queue.Queue(maxsize=workers + 1)
+    out_q: "queue.Queue" = queue.Queue(maxsize=workers * 2 + 2)
     err: list[BaseException] = []
+    n_done = 0
+    done_lock = threading.Lock()
 
     def reader():
         try:
-            for batch in stream_batches(fq1, opt.batch_reads,
-                                        opt.max_read_len):
-                in_q.put(batch)
+            read_id0 = 0
+            for seq, batch in enumerate(
+                    stream_batches(fq1, opt.batch_reads, opt.max_read_len)):
+                in_q.put((seq, read_id0, batch))
+                read_id0 += batch.n
         except BaseException as e:  # propagate to main
             err.append(e)
         finally:
-            in_q.put(None)
+            for _ in range(workers):
+                in_q.put(None)
+
+    def worker():
+        nonlocal n_done
+        while True:
+            item = in_q.get()
+            if item is None:
+                out_q.put(None)
+                return
+            seq, read_id0, batch = item
+            try:
+                recs = aligner.align_se_batch(batch, read_id0)
+            except BaseException as e:
+                err.append(e)
+                out_q.put(None)
+                return
+            text = "".join(r.line() + "\n" for rl in recs for r in rl)
+            with done_lock:
+                n_done += batch.n
+                print(f"[tpu-bwa] {n_done} reads processed",
+                      file=sys.stderr)
+            out_q.put((seq, text))
 
     def writer():
-        while True:
+        # emit batches strictly in input order (SAM must be deterministic
+        # regardless of worker scheduling)
+        heap: list = []
+        want = 0
+        ended = 0
+        while ended < workers:
             item = out_q.get()
             if item is None:
-                return
-            out.write(item)
+                ended += 1
+                continue
+            heapq.heappush(heap, item)
+            while heap and heap[0][0] == want:
+                _, text = heapq.heappop(heap)
+                out.write(text)
+                want += 1
+        while heap:
+            _, text = heapq.heappop(heap)
+            out.write(text)
 
     rt = threading.Thread(target=reader, daemon=True)
     wt = threading.Thread(target=writer, daemon=True)
+    ws = [threading.Thread(target=worker, daemon=True)
+          for _ in range(workers)]
     rt.start()
+    for w in ws:
+        w.start()
     wt.start()
-    n_done = 0
-    batch = in_q.get()
-    handle = (aligner.seed_batch_dispatch(batch.codes, batch.lens)
-              if batch is not None else None)
-    while batch is not None:
-        # prefetch: dispatch device seeding of the NEXT batch before doing
-        # the current batch's host-side work, so the accelerator stays busy
-        nxt = in_q.get()
-        nxt_handle = (aligner.seed_batch_dispatch(nxt.codes, nxt.lens)
-                      if nxt is not None else None)
-        recs = aligner.align_se_batch(batch, n_done, seed_handle=handle)
-        out_q.put("".join(
-            r.line() + "\n" for rlist in recs for r in rlist))
-        n_done += batch.n
-        print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
-        batch, handle = nxt, nxt_handle
-    out_q.put(None)
     wt.join()
     rt.join()
+    for w in ws:
+        w.join()
     if err:
         raise err[0]
     return n_done

@@ -99,11 +99,17 @@ class MemOptions:
         return int(self.min_seed_len * self.split_factor + 0.499)
 
     def score_matrix(self) -> np.ndarray:
-        """5x5 scoring matrix (bwa_fill_scmat): ACGT x ACGT, row/col 4 = N."""
+        """5x5 scoring matrix (bwa_fill_scmat): ACGT x ACGT, row/col 4 = N.
+        Memoized per (a, b) — it is requested on hot per-read paths."""
+        key = (self.a, self.b)
+        cached = getattr(self, "_scmat", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         mat = np.full((5, 5), -1, dtype=np.int32)
         for i in range(4):
             for j in range(4):
                 mat[i, j] = self.a if i == j else -self.b
         mat[4, :] = -1
         mat[:, 4] = -1
+        object.__setattr__(self, "_scmat", (key, mat))
         return mat

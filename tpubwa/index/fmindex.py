@@ -129,15 +129,17 @@ class FMIndex:
     def fetch_ref(self, rb: int, re: int) -> np.ndarray:
         """Reference codes for [rb, re) in 2*l_pac coordinates (host)."""
         assert 0 <= rb <= re <= self.seq_len
+        if re <= self.l_pac:  # fast path: entirely forward strand
+            return self._fwd_codes(np.arange(rb, re))
+        if rb >= self.l_pac:  # entirely reverse strand
+            p = np.arange(2 * self.l_pac - re, 2 * self.l_pac - rb)
+            return (3 - self._fwd_codes(p))[::-1]
         out = np.empty(re - rb, dtype=np.uint8)
         pos = np.arange(rb, re)
         fwd = pos < self.l_pac
-        if fwd.any():
-            p = pos[fwd]
-            out[fwd] = self._fwd_codes(p)
-        if (~fwd).any():
-            p = 2 * self.l_pac - 1 - pos[~fwd]
-            out[~fwd] = 3 - self._fwd_codes(p)
+        out[fwd] = self._fwd_codes(pos[fwd])
+        p = 2 * self.l_pac - 1 - pos[~fwd]
+        out[~fwd] = 3 - self._fwd_codes(p)
         return out
 
     def _fwd_codes(self, p: np.ndarray) -> np.ndarray:
@@ -155,7 +157,10 @@ class FMIndex:
         """Contig id for a forward-coordinate position; -1 if out of range."""
         if pos < 0 or pos >= self.l_pac:
             return -1
-        offs = np.array([c.offset for c in self.contigs], dtype=np.int64)
+        offs = getattr(self, "_offs", None)
+        if offs is None:
+            offs = np.array([c.offset for c in self.contigs], dtype=np.int64)
+            self._offs = offs
         return int(np.searchsorted(offs, pos, side="right") - 1)
 
     # ---------------- persistence ----------------
