@@ -91,7 +91,87 @@ class _NullOut(io.TextIOBase):
         return len(s)
 
 
+def bench_kernel() -> int:
+    """DP-kernel microbenchmark: banded affine-gap cells/sec vs a stated
+    VPU roofline (BASELINE.md north star: "DP cells/sec at per-chip
+    speed-of-light").
+
+    Workload: B lanes of full-length extensions with query == target so no
+    lane exits early (every row of every lane is computed).  Two numbers:
+    - hardware cells/s: rows x full vector width the VPU actually computes
+      (the kernel evaluates the whole Q-wide row per target row, masked)
+    - effective DP cells/s: rows x band columns (the algorithmic work)
+    Roofline: v5e VPU ~= 8x128 lanes x 4 int32 ALUs x ~0.94 GHz ~= 3.85e12
+    int-ops/s; the row update needs >=8 VPU ops per hardware cell (score
+    select, M, E, F running-max, H max, band mask — trackers/cummax steps
+    amortize across the row) -> ~4.8e11 hardware cells/s speed-of-light."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpubwa.config import MemOptions
+    from tpubwa.ops.extend import extend_batch
+
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        from tpubwa.ops.extend_pallas import extend_batch_pallas as fn
+    else:
+        fn = extend_batch
+
+    opt = MemOptions()
+    B, Q, T = 4096, 256, 256
+    rng = np.random.default_rng(0)
+    qlen = np.full(B, Q, np.int32)
+    tlen = np.full(B, T, np.int32)
+    w = np.full(B, opt.w, np.int32)
+    h0 = np.full(B, 30, np.int32)
+    eb = np.full(B, 5, np.int32)
+    mat = jnp.asarray(opt.score_matrix())
+    kw = dict(o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+              e_ins=opt.e_ins, zdrop=opt.zdrop, mat_max=opt.a)
+    # distinct pre-staged inputs per iteration: identical repeated calls can
+    # be served from transport-level caches and report impossible numbers
+    n_it = 8
+    sets = []
+    for _ in range(n_it):
+        q = rng.integers(0, 4, (B, Q)).astype(np.int32)
+        t = q.copy()  # full match: no early exit, every row computed
+        sets.append([jnp.asarray(x) for x in (q, qlen, t, tlen)]
+                    + [mat] + [jnp.asarray(x) for x in (w, h0, eb)])
+
+    out = fn(*sets[0], **kw)  # compile
+    jax.block_until_ready(out.score)
+    t0 = _t.monotonic()
+    for a in sets:
+        out = fn(*a, **kw)
+        jax.block_until_ready(out.score)  # per-iter sync: honest wall time
+    dt = (_t.monotonic() - t0) / n_it
+
+    hw_cells = B * T * Q
+    band_cols = min(2 * opt.w + 1, Q)
+    eff_cells = B * T * band_cols
+    roofline = 4.8e11  # stated hardware-cell speed-of-light, see docstring
+    result = {
+        "metric": f"dp_kernel_cells_per_sec_{platform}",
+        "value": round(hw_cells / dt / 1e9, 2),
+        "unit": "Gcells/s (hardware; effective band "
+                f"{eff_cells / dt / 1e9:.2f})",
+        "vs_baseline": round(hw_cells / dt / roofline, 4),
+    }
+    print(f"[bench --kernel] {B} lanes x {T} rows x {Q} cols in {dt*1e3:.1f}"
+          f" ms -> {hw_cells/dt/1e9:.2f} Gcells/s hardware, "
+          f"{eff_cells/dt/1e9:.2f} Gcells/s effective, "
+          f"{hw_cells/dt/roofline*100:.1f}% of stated VPU roofline",
+          file=sys.stderr)
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
+    if "--kernel" in sys.argv:
+        return bench_kernel()
     n_reads = int(os.environ.get("TPUBWA_BENCH_READS", "20000"))
     ref_mb = float(os.environ.get("TPUBWA_BENCH_REF_MB", "4.6"))
     pe = os.environ.get("TPUBWA_BENCH_PE", "0") == "1"

@@ -36,21 +36,23 @@ BUCKETS = ((64, 128), (192, 256), (192, 512), (320, 1024))
 class GABatchExecutor:
     """execute(jobs: list[GAJob]) -> list[(score, cigar)] via device batches."""
 
-    def __init__(self, opt: MemOptions):
+    def __init__(self, opt: MemOptions, put=None):
         self.opt = opt
         self.mat = opt.score_matrix()
         self._mat_j = None
+        self._put = put
 
     def _mat_dev(self):
         import jax.numpy as jnp
 
         if self._mat_j is None:
-            self._mat_j = jnp.asarray(self.mat)
+            self._mat_j = (self._put or jnp.asarray)(self.mat)
         return self._mat_j
 
     def __call__(self, jobs: list[GAJob]) -> list:
         import jax.numpy as jnp
 
+        put = self._put or jnp.asarray
         opt = self.opt
         out: list = [None] * len(jobs)
         by_bucket: dict[tuple[int, int], list[int]] = {}
@@ -85,8 +87,8 @@ class GABatchExecutor:
                 tlen[r] = tl
                 w[r] = job.w
             res = global_align_cigar_batch(
-                jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-                jnp.asarray(tlen), self._mat_dev(), jnp.asarray(w),
+                put(q), put(qlen), put(t),
+                put(tlen), self._mat_dev(), put(w),
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                 e_ins=opt.e_ins)
             score = np.asarray(res.score)

@@ -25,11 +25,21 @@ from tpubwa.utils.timers import PhaseTimers
 
 
 class Aligner:
-    """Holds the loaded index (host + device) and aligns read batches."""
+    """Holds the loaded index (host + device) and aligns read batches.
 
-    def __init__(self, idx: FMIndex, opt: MemOptions | None = None):
+    With ``opt.mesh_shape`` set (or an explicit ``mesh``), the device phases
+    (SMEM seeding, seed expansion, extension DP, CIGAR DP) run data-parallel
+    over the mesh's "dp" axis — reads sharded across chips, the FM-index
+    replicated per device (SURVEY.md §2.2 "instance-level scale-out" mapped
+    to jax.sharding).  Host chaining/finalize is unchanged: it sees gathered
+    arrays."""
+
+    def __init__(self, idx: FMIndex, opt: MemOptions | None = None,
+                 mesh=None):
+        import jax
         import jax.numpy as jnp  # noqa: F401
 
+        from tpubwa.align.cigar_batch import GABatchExecutor
         from tpubwa.ops.extend import extend_seed_batch
         from tpubwa.ops.fm import DeviceIndex
         from tpubwa.ops.seeds import seed_rows
@@ -37,25 +47,58 @@ class Aligner:
 
         self.idx = idx
         self.opt = opt or MemOptions()
-        self.di = DeviceIndex.from_host(idx)
         self.mat = self.opt.score_matrix()
         self.contig_offsets = np.array([c.offset for c in idx.contigs],
                                        dtype=np.int64)
-        from tpubwa.align.cigar_batch import GABatchExecutor
 
-        import jax
+        if mesh is None and self.opt.mesh_shape:
+            from tpubwa.parallel.mesh import make_mesh
+
+            n_mesh = int(np.prod(self.opt.mesh_shape))
+            if n_mesh > 1:
+                mesh = make_mesh(n_mesh)
+        self.mesh = mesh
+        self.di = DeviceIndex.from_host(idx)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._dp = NamedSharding(mesh, P("dp"))
+            repl = NamedSharding(mesh, P())
+            self.di = jax.device_put(self.di, repl)
+            self._n_shard = mesh.devices.size
+        else:
+            self._dp = None
+            self._n_shard = 1
 
         self._collect = collect_smems_chain
         self._expand = seed_rows
         self.n_overflow = 0  # reads whose SMEM/seed buffers overflowed
-        if jax.devices()[0].platform == "tpu":
+        platform = (mesh.devices.flat[0].platform if mesh is not None
+                    else jax.devices()[0].platform)
+        if platform == "tpu":
             # production path: VMEM-resident Pallas DP core
             from tpubwa.ops.extend_pallas import extend_seed_batch_pallas
             self._extend = extend_seed_batch_pallas
         else:
             self._extend = extend_seed_batch
-        self.ga_exec = GABatchExecutor(self.opt)
+        self.ga_exec = GABatchExecutor(self.opt, put=self._put)
         self.timers = PhaseTimers()
+
+    def _put(self, arr):
+        """Host array -> device, sharded along the batch axis on a mesh
+        (replicated when the leading dim doesn't divide — e.g. the 5x5
+        scoring matrix or scalar-per-batch metadata)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._dp is None:
+            return jnp.asarray(arr)
+        arr = np.asarray(arr)
+        if arr.ndim and arr.shape[0] % self._n_shard == 0:
+            return jax.device_put(arr, self._dp)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------ device seeding ----
 
@@ -68,9 +111,16 @@ class Aligner:
         import jax.numpy as jnp
 
         opt = self.opt
+        ns = self._n_shard
+        if ns > 1 and len(lens) % ns:  # pad batch to the shard count
+            pad = ns - len(lens) % ns
+            codes = np.concatenate(
+                [codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
         with self.timers.phase("SMEM"):
             sm = self._collect(
-                self.di, jnp.asarray(codes, jnp.int32), jnp.asarray(lens),
+                self.di, self._put(np.asarray(codes, np.int32)),
+                self._put(lens),
                 min_seed_len=opt.min_seed_len, split_len=opt.split_len,
                 split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
                 out_cap=opt.max_smems_per_read)
@@ -149,7 +199,8 @@ class Aligner:
                             chains_per_read[b])
                 for b in range(len(chains_per_read))
             ]
-            regs = run_extension_rounds(gens, opt, self.mat, self._extend)
+            regs = run_extension_rounds(gens, opt, self.mat, self._extend,
+                                        put=self._put)
         return regs
 
     # ------------------------------------------------ full batch ----
@@ -182,9 +233,13 @@ class Aligner:
 def align_fastq(ref: str, fq1: str, fq2: str | None, out,
                 min_seed_len: int = 19, threads: int = 1,
                 batch_reads_n: int | None = None, batch_reads=None,
+                preset: str | None = None, chunk_dir: str | None = None,
                 cmdline: str = "tpu-bwa mem") -> int:
     """CLI entry: align FASTQ(s) against an indexed reference, write SAM."""
-    opt = MemOptions(min_seed_len=min_seed_len)
+    if preset:
+        opt = MemOptions.preset(preset, min_seed_len=min_seed_len)
+    else:
+        opt = MemOptions(min_seed_len=min_seed_len)
     if batch_reads is not None:
         opt.batch_reads = int(batch_reads)
     if not FMIndex.exists(ref):
@@ -198,28 +253,43 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
     if fq2 is not None:
         from tpubwa.align.pair import align_pe_fastq
 
-        return align_pe_fastq(aligner, fq1, fq2, out, workers=threads)
+        return align_pe_fastq(aligner, fq1, fq2, out, workers=threads,
+                              chunk_dir=chunk_dir)
 
-    run_se_pipeline(aligner, fq1, out, workers=threads)
+    run_se_pipeline(aligner, fq1, out, workers=threads, chunk_dir=chunk_dir)
     print(aligner.timers.report(), file=sys.stderr)
     return 0
 
 
-def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1
-                    ) -> int:
-    """Pipelined SE driver: FASTQ reader thread -> ``workers`` aligner
-    threads (each owns whole batches; device calls from all workers
-    interleave on the chip's stream while host Python of one batch overlaps
-    device waits of another) -> ordered SAM writer.  Reference analog:
-    fastmap.cpp's kt_pipeline + kt_for workers (SURVEY.md §3.1); ``-t``
-    drives the worker count like the reference's thread flag."""
+def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
+                     chunk_dir: str | None = None) -> int:
+    """Generic pipelined driver: a reader thread streams work items,
+    ``workers`` threads each process whole items (device calls from all
+    workers interleave on the chip's stream while host Python of one item
+    overlaps device waits of another), and a writer emits results strictly
+    in input order so output is deterministic regardless of scheduling.
+
+    Reference analog: fastmap.cpp's kt_pipeline + kt_for workers (SURVEY.md
+    §3.1); ``-t`` drives the worker count like the reference's thread flag.
+
+    ``items`` yields (payload, n_units); ``work(payload) -> text``.
+
+    With ``chunk_dir`` set, each work item's output is also persisted as an
+    idempotent chunk file (atomic tmp+rename); items whose chunk already
+    exists are NOT recomputed — re-running an interrupted command resumes
+    from the completed chunks (SURVEY.md §5 "Failure detection": per-shard
+    restart + idempotent output chunking)."""
     import heapq
+    import os
     import queue
     import threading
 
-    from tpubwa.io.fastq import stream_batches
+    if chunk_dir:
+        os.makedirs(chunk_dir, exist_ok=True)
 
-    opt = aligner.opt
+    def chunk_path(seq: int) -> str:
+        return os.path.join(chunk_dir, f"chunk_{seq:06d}.sam")
+
     workers = max(1, min(int(workers), 8))
     in_q: "queue.Queue" = queue.Queue(maxsize=workers + 1)
     out_q: "queue.Queue" = queue.Queue(maxsize=workers * 2 + 2)
@@ -229,11 +299,10 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1
 
     def reader():
         try:
-            read_id0 = 0
-            for seq, batch in enumerate(
-                    stream_batches(fq1, opt.batch_reads, opt.max_read_len)):
-                in_q.put((seq, read_id0, batch))
-                read_id0 += batch.n
+            for seq, (payload, n_units) in enumerate(items):
+                if err:
+                    break
+                in_q.put((seq, payload, n_units))
         except BaseException as e:  # propagate to main
             err.append(e)
         finally:
@@ -247,23 +316,29 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1
             if item is None:
                 out_q.put(None)
                 return
-            seq, read_id0, batch = item
+            seq, payload, n_units = item
             try:
-                recs = aligner.align_se_batch(batch, read_id0)
+                if chunk_dir and os.path.exists(chunk_path(seq)):
+                    with open(chunk_path(seq)) as f:  # resume: reuse chunk
+                        text = f.read()
+                else:
+                    text = work(payload)
+                    if chunk_dir:
+                        tmp = chunk_path(seq) + ".tmp"
+                        with open(tmp, "w") as f:
+                            f.write(text)
+                        os.replace(tmp, chunk_path(seq))  # atomic publish
             except BaseException as e:
                 err.append(e)
                 out_q.put(None)
                 return
-            text = "".join(r.line() + "\n" for rl in recs for r in rl)
             with done_lock:
-                n_done += batch.n
-                print(f"[tpu-bwa] {n_done} reads processed",
+                n_done += n_units
+                print(f"[tpu-bwa] {n_done} {label} processed",
                       file=sys.stderr)
             out_q.put((seq, text))
 
     def writer():
-        # emit batches strictly in input order (SAM must be deterministic
-        # regardless of worker scheduling)
         heap: list = []
         want = 0
         ended = 0
@@ -277,7 +352,7 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1
                 _, text = heapq.heappop(heap)
                 out.write(text)
                 want += 1
-        while heap:
+        while heap:  # error path: drain what completed
             _, text = heapq.heappop(heap)
             out.write(text)
 
@@ -296,3 +371,25 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1
     if err:
         raise err[0]
     return n_done
+
+
+def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
+                    chunk_dir: str | None = None) -> int:
+    """Pipelined SE driver over run_ordered_pool."""
+    from tpubwa.io.fastq import stream_batches
+
+    opt = aligner.opt
+
+    def items():
+        read_id0 = 0
+        for batch in stream_batches(fq1, opt.batch_reads, opt.max_read_len):
+            yield (batch, read_id0), batch.n
+            read_id0 += batch.n
+
+    def work(payload):
+        batch, read_id0 = payload
+        recs = aligner.align_se_batch(batch, read_id0)
+        return "".join(r.line() + "\n" for rl in recs for r in rl)
+
+    return run_ordered_pool(items(), work, out, workers,
+                            chunk_dir=chunk_dir)

@@ -206,15 +206,18 @@ def extend_read(opt: MemOptions, l_pac: int,
 
 def run_extension_rounds(gens: list[Iterator[SeedExtJob]], opt: MemOptions,
                          mat: np.ndarray, extend_seed_fn,
-                         q_pad: int = 192, t_pad: int = 768,
+                         q_pad: int = 192, t_pad: int = 768, put=None,
                          ) -> list[list[AlnReg]]:
     """Drive per-read extension generators in lockstep rounds; one pending
     whole-seed job per read per round, all jobs fused into one device call
     (left + right + band retries — extend_seed_batch).  Live lanes are
     compacted into power-of-two batch buckets so late rounds with few
-    surviving reads stay cheap."""
+    surviving reads stay cheap.  `put` maps a host array to device (sharded
+    along the lane axis on a mesh)."""
     import jax.numpy as jnp
 
+    if put is None:
+        put = jnp.asarray
     n = len(gens)
     results: list[list[AlnReg] | None] = [None] * n
     pending: list[SeedExtJob | None] = [None] * n
@@ -226,7 +229,7 @@ def run_extension_rounds(gens: list[Iterator[SeedExtJob]], opt: MemOptions,
         except StopIteration as e:
             results[i] = e.value or []
 
-    mat_j = jnp.asarray(mat)
+    mat_j = put(mat)
     while live:
         idxs = sorted(live)
         nb = len(idxs)
@@ -264,10 +267,10 @@ def run_extension_rounds(gens: list[Iterator[SeedExtJob]], opt: MemOptions,
         pen5 = np.full(B, opt.pen_clip5, np.int32)
         pen3 = np.full(B, opt.pen_clip3, np.int32)
         out = extend_seed_fn(
-            jnp.asarray(q_l), jnp.asarray(qlen_l), jnp.asarray(t_l),
-            jnp.asarray(tlen_l), jnp.asarray(q_r), jnp.asarray(qlen_r),
-            jnp.asarray(t_r), jnp.asarray(tlen_r), mat_j, jnp.asarray(w0),
-            jnp.asarray(h0), jnp.asarray(pen5), jnp.asarray(pen3),
+            put(q_l), put(qlen_l), put(t_l),
+            put(tlen_l), put(q_r), put(qlen_r),
+            put(t_r), put(tlen_r), mat_j, put(w0),
+            put(h0), put(pen5), put(pen3),
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, zdrop=opt.zdrop, mat_max=opt.a)
         # one stacked download (device->host bandwidth is the bottleneck)

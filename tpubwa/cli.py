@@ -59,6 +59,8 @@ def cmd_mem(args) -> int:
             min_seed_len=args.k,
             threads=args.t,
             batch_reads=args.batch,
+            preset=args.preset,
+            chunk_dir=args.chunks,
             cmdline=" ".join(sys.argv),
         )
     except ValueError as e:
@@ -107,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("-k", type=int, default=19, help="minimum seed length")
     pm.add_argument("--batch", type=int, default=None,
                     help="reads per device batch")
+    pm.add_argument("--chunks", default=None, metavar="DIR",
+                    help="persist each batch's SAM as an idempotent chunk "
+                         "file in DIR; re-running resumes from completed "
+                         "chunks (restartable output)")
+    pm.add_argument("--preset", default=None,
+                    choices=["cpu-dev", "v5e-1", "v5e-4", "v5e-16"],
+                    help="topology preset: batch size + device mesh "
+                         "(reads data-parallel over the mesh)")
     pm.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace into DIR")
     pm.add_argument("ref")

@@ -34,7 +34,6 @@ class MemOptions:
     split_factor: float = 1.5
     max_mem_intv: int = 20      # 3rd-round (LAST-like) seeding occ cap; 0 disables
     max_occ: int = 500          # skip a seed if its SMEM has more occurrences
-    max_seed_hits: int = 10000  # per-read cap on total seed hits (ref: MAX_SEED_HITS)
 
     # chaining
     max_chain_gap: int = 10000
@@ -57,14 +56,12 @@ class MemOptions:
     # pipeline / device batching (TPU-specific; no reference analog except
     # kthread batch sizes — SURVEY.md §2 kt_for ARM_BATCH_SIZE lesson: small
     # balanced batches)
-    chunk_size: int = 10_000_000   # bases per pipeline super-chunk
     batch_reads: int = 4096        # reads per device batch
     mesh_shape: tuple = ()         # device mesh for data-parallel sharding
     #                                (empty = single device)
     max_read_len: int = 160        # static padded read length on device
     max_smems_per_read: int = 64   # static SMEM capacity per read
     max_seeds_per_read: int = 128  # static seed capacity per read
-    max_chains_per_read: int = 64
 
     @property
     def mapQ_coef_fac(self) -> float:

@@ -10,9 +10,14 @@ design:
   BWT symbols 2-bit-packed into 4 words (bitcast uint32).  One HBM gather row
   fetches everything an occ query needs, mirroring GET_OCC's one-cache-line
   design (SURVEY.md §7 "FM-index memory behavior").
-- the suffix array is stored full-resolution (like bwa-mem2's 5-byte
-  sa_ms_byte+sa_ls_word) as int32 while seq_len < 2^31; the GRCh38-scale
-  split-hi/lo layout is a planned extension.
+- the suffix array is stored full-resolution in bwa-mem2's exact 5-byte
+  split layout (sa_ms_byte uint8 + sa_ls_word uint32 — [src] FMI_search.h,
+  PHASE4_WEEK4_POLISH.md:148-175), so builds are valid to 2^40 bp.  HBM
+  sizing at GRCh38 scale (N = 2*3.1 Gb): cp checkpoints N/64 x 32 B ~= 3.1
+  GB (fits), 5-byte SA ~= 31 GB (does not fit one v5e chip) — the device
+  pipeline replicates the SA only below seq_len 2^31 and the GRCh38 serving
+  mode shards the SA over the mesh with all-to-all lookups (SURVEY.md §5
+  "Distributed communication backend", planned).
 
 Conventions (self-contained; property-tested against naive search):
 - index text: seq = forward_ref + revcomp(forward_ref), length N = 2*l_pac.
@@ -46,8 +51,16 @@ class FMIndex:
     primary: int
     L2: np.ndarray             # int64[5]: L2[c] = 1 + #symbols<c; L2[4]=N+1
     cp: np.ndarray             # int32 [nblocks, 8] fused occ checkpoints
-    sa: np.ndarray             # int32 [N+1] full suffix array
+    sa_ls: np.ndarray          # uint32 [N+1] suffix array low words
+    sa_ms: np.ndarray          # uint8  [N+1] suffix array high bytes
     holes: np.ndarray          # int64 [n,2] ambiguous-base runs (fwd coords)
+
+    @property
+    def sa(self) -> np.ndarray:
+        """Full-resolution suffix array, int64 (host view; combines the
+        5-byte split storage — tests and host-side tooling only)."""
+        return (self.sa_ms.astype(np.int64) << 32) | self.sa_ls.astype(
+            np.int64)
 
     @property
     def seq_len(self) -> int:
@@ -60,12 +73,11 @@ class FMIndex:
               holes: np.ndarray | None = None,
               use_native: bool | None = None) -> "FMIndex":
         l_pac = int(codes.size)
+        if 2 * l_pac >= 1 << 40:
+            raise ValueError("reference exceeds the 5-byte SA layout (2^40)")
         rc = (3 - codes[::-1]).astype(np.uint8)
         seq = np.concatenate([codes, rc])
         n = seq.size
-        if n + 1 >= 2**31:
-            raise NotImplementedError(
-                "references over ~1Gb need the int64/sharded index layout")
         sa = suffix_array(seq, use_native=use_native)
         bwt, primary = bwt_and_primary(seq, sa)
 
@@ -83,7 +95,8 @@ class FMIndex:
             primary=primary,
             L2=L2,
             cp=cp,
-            sa=sa.astype(np.int32),
+            sa_ls=(sa & 0xFFFFFFFF).astype(np.uint32),
+            sa_ms=(sa >> 32).astype(np.uint8),
             holes=holes if holes is not None else np.zeros((0, 2), np.int64),
         )
 
@@ -177,7 +190,8 @@ class FMIndex:
             pac_words=self.pac_words,
             L2=self.L2,
             cp=self.cp,
-            sa=self.sa,
+            sa_ls=self.sa_ls,
+            sa_ms=self.sa_ms,
             holes=self.holes,
         )
         with open(prefix + INDEX_SUFFIX + ".json", "w") as f:
@@ -188,6 +202,12 @@ class FMIndex:
         with open(prefix + INDEX_SUFFIX + ".json") as f:
             meta = json.load(f)
         z = np.load(prefix + INDEX_SUFFIX + ".npz")
+        if "sa_ls" in z:
+            sa_ls, sa_ms = z["sa_ls"], z["sa_ms"]
+        else:  # version-1 archives stored a full int32 SA
+            sa = z["sa"].astype(np.int64)
+            sa_ls = (sa & 0xFFFFFFFF).astype(np.uint32)
+            sa_ms = (sa >> 32).astype(np.uint8)
         return cls(
             contigs=[Contig(**c) for c in meta["contigs"]],
             l_pac=meta["l_pac"],
@@ -195,7 +215,8 @@ class FMIndex:
             primary=meta["primary"],
             L2=z["L2"],
             cp=z["cp"],
-            sa=z["sa"],
+            sa_ls=sa_ls,
+            sa_ms=sa_ms,
             holes=z["holes"],
         )
 

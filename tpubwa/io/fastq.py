@@ -72,13 +72,18 @@ def read_fastq(path: str) -> Iterator[Read]:
 
 
 def batch_reads(reads: list[Read], batch_size: int, max_len: int,
-                pad_to_batch: bool = True) -> Iterator[ReadBatch]:
+                pad_to_batch: bool = True, on_too_long: str = "raise"
+                ) -> Iterator[ReadBatch]:
     """Group reads into fixed-shape batches.
 
-    Reads longer than max_len are rejected (the short-read pipeline is
-    statically shaped; long-read support would use a different length bucket —
-    SURVEY.md §5 "length bucketing + dtype escalation").
+    Reads longer than max_len don't fit the static device shape (long-read
+    support would use a different length bucket — SURVEY.md §5 "length
+    bucketing + dtype escalation").  on_too_long: "raise", or "skip" — keep
+    the read in the batch with length 0 so it is reported as unmapped
+    (with a stderr warning) instead of aborting the whole run.
     """
+    import sys as _sys
+
     for i in range(0, len(reads), batch_size):
         chunk = reads[i : i + batch_size]
         b = batch_size if pad_to_batch else len(chunk)
@@ -86,6 +91,11 @@ def batch_reads(reads: list[Read], batch_size: int, max_len: int,
         lens = np.zeros(b, dtype=np.int32)
         for j, r in enumerate(chunk):
             if len(r.seq) > max_len:
+                if on_too_long == "skip":
+                    print(f"[tpu-bwa] warning: read {r.name} length "
+                          f"{len(r.seq)} > max read length {max_len}; "
+                          "emitting it unmapped", file=_sys.stderr)
+                    continue
                 raise ValueError(
                     f"read {r.name} length {len(r.seq)} > max_len {max_len}")
             codes[j, : len(r.seq)] = encode(r.seq)
@@ -110,4 +120,5 @@ def stream_batches(path: str, batch_size: int, max_len: int
         chunk = list(itertools.islice(it, batch_size))
         if not chunk:
             return
-        yield from batch_reads(chunk, batch_size, max_len)
+        yield from batch_reads(chunk, batch_size, max_len,
+                               on_too_long="skip")

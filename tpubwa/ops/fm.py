@@ -32,9 +32,15 @@ class DeviceIndex(NamedTuple):
 
     @classmethod
     def from_host(cls, idx: FMIndex) -> "DeviceIndex":
+        if idx.seq_len + 1 >= 1 << 31:
+            # the replicated int32 device pipeline ends here; GRCh38-scale
+            # serving shards the SA over the mesh (fmindex.py HBM sizing)
+            raise NotImplementedError(
+                "seq_len >= 2^31: use the sharded-SA device layout")
+        # host combine of the 5-byte split storage; values < 2^31 here
         return cls(
             cp=jnp.asarray(idx.cp, dtype=jnp.int32),
-            sa=jnp.asarray(idx.sa, dtype=jnp.int32),
+            sa=jnp.asarray(idx.sa_ls.view(np.int32)),
             pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
             L2=jnp.asarray(idx.L2, dtype=jnp.int32),
             primary=jnp.int32(idx.primary),
