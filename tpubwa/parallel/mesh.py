@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpubwa.ops.extend import extend_batch
 from tpubwa.ops.fm import DeviceIndex
 from tpubwa.ops.seeds import smems_to_seeds
-from tpubwa.ops.smem_chain import collect_smems_chain
+from tpubwa.ops.smem_chain import collect_smems_chain_fused
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -53,8 +53,8 @@ def device_align_step(di: DeviceIndex, codes: jax.Array, lens: jax.Array,
     pipeline composes the same pieces with host chaining in between.
     """
     B, L = codes.shape
-    sm = collect_smems_chain(di, codes.astype(jnp.int32), lens,
-                             min_seed_len=min_seed_len)
+    sm = collect_smems_chain_fused(di, codes.astype(jnp.int32), lens,
+                                   min_seed_len=min_seed_len)
     sb = smems_to_seeds(di, sm, max_occ=max_occ, out_seeds=64)
 
     # pick the longest seed per read and score a right-extension from its
