@@ -46,7 +46,8 @@ def test_chunk_resume_identical(tmp_path):
     assert align_fastq(ref, fq, None, buf1, batch_reads=32,
                        chunk_dir=cdir) == 0
     assert buf1.getvalue().split("@PG")[0] == buf0.getvalue().split("@PG")[0]
-    chunks = sorted(os.listdir(cdir))
+    assert os.path.exists(os.path.join(cdir, "manifest.json"))
+    chunks = sorted(c for c in os.listdir(cdir) if c != "manifest.json")
     assert len(chunks) == 4  # 100 reads / 32 per batch
     assert all(c.endswith(".sam") and not c.endswith(".tmp") for c in chunks)
 
@@ -72,3 +73,12 @@ def test_chunk_resume_identical(tmp_path):
     assert align_fastq(ref, fq, None, buf3, batch_reads=32,
                        chunk_dir=cdir) == 0
     assert buf3.getvalue().split("@PG")[0] == buf0.getvalue().split("@PG")[0]
+
+    # resuming the same chunk dir under a different run identity (other
+    # batch size -> different chunk boundaries) must refuse, not splice
+    # stale chunks into the output (ADVICE r2: manifest check)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="manifest"):
+        align_fastq(ref, fq, None, io.StringIO(), batch_reads=16,
+                    chunk_dir=cdir)

@@ -41,12 +41,16 @@ class GABatchExecutor:
         self.mat = opt.score_matrix()
         self._mat_j = None
         self._put = put
+        self._mat_dev()  # eager: lazy init would race under -t workers
 
     def _mat_dev(self):
         import jax.numpy as jnp
 
         if self._mat_j is None:
-            self._mat_j = (self._put or jnp.asarray)(self.mat)
+            if self._put is not None:
+                self._mat_j = self._put(self.mat, batch=False)
+            else:
+                self._mat_j = jnp.asarray(self.mat)
         return self._mat_j
 
     def __call__(self, jobs: list[GAJob]) -> list:

@@ -1,0 +1,183 @@
+"""Flat extension driver: chain + extend a whole read batch with two native
+calls and ~one device call.
+
+Pipeline shape (the VERDICT r2 "flatten the hot path" redesign):
+
+  seed rows (host)
+    -> native ext_prepare   : chain/filter every read + emit one job
+                              descriptor per chain seed (native/extension.cpp)
+    -> device extend_jobs   : gather q/t windows on device, fused
+                              left+right band-doubling DP, one call per
+                              wave (ops/extend_flat.py)
+    -> native ext_finalize  : sequential containment replay -> regions
+
+Semantically identical to the generator path (align/region.py extend_read
+driven by run_extension_rounds) — pinned by tests/test_extend_flat.py.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from tpubwa.align.region import AlnReg
+from tpubwa.config import MemOptions
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_F64P = ctypes.POINTER(ctypes.c_double)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+# wave lane-count buckets (pow2): small batches compile the small shapes,
+# production batches run ceil(J / MAX_WAVE) full waves
+MIN_WAVE = 256
+MAX_WAVE = 8192
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def prepare_jobs(opt: MemOptions, l_pac: int, contig_offsets: np.ndarray,
+                 seed_rows: np.ndarray, bounds: np.ndarray,
+                 skip: np.ndarray, lens: np.ndarray, l_rep: np.ndarray):
+    """native ext_prepare.  Returns (handle, jobs-dict, n_jobs) or None when
+    the native library is unavailable (callers fall back to the per-read
+    generator path)."""
+    from tpubwa.native import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "ext_prepare"):
+        return None
+    seed_rows = np.ascontiguousarray(seed_rows, dtype=np.int64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    skip = np.ascontiguousarray(skip, dtype=np.uint8)
+    offs = np.ascontiguousarray(contig_offsets, dtype=np.int64)
+    lens = _i32(lens)
+    l_rep = _i32(l_rep)
+    n_seeds = len(seed_rows)
+    n_reads = len(bounds) - 1
+    cap = max(n_seeds, 1)
+    jobs = {
+        "read": np.empty(cap, np.int32),
+        "qbeg": np.empty(cap, np.int32),
+        "slen": np.empty(cap, np.int32),
+        "rbeg": np.empty(cap, np.int64),
+        "rmax0": np.empty(cap, np.int64),
+        "rmax1": np.empty(cap, np.int64),
+        "h0": np.empty(cap, np.int32),
+    }
+    counts = np.zeros(1, np.int64)
+    handle = lib.ext_prepare(
+        seed_rows.ctypes.data_as(_I64P), n_seeds,
+        bounds.ctypes.data_as(_I64P), n_reads,
+        skip.ctypes.data_as(_U8P),
+        offs.ctypes.data_as(_I64P), len(offs), l_pac,
+        lens.ctypes.data_as(_I32P), l_rep.ctypes.data_as(_I32P),
+        opt.w, opt.max_chain_gap, opt.min_chain_weight,
+        opt.max_chain_extend, opt.mask_level, opt.drop_ratio,
+        opt.min_seed_len,
+        opt.a, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        opt.pen_clip5, opt.pen_clip3,
+        jobs["read"].ctypes.data_as(_I32P),
+        jobs["qbeg"].ctypes.data_as(_I32P),
+        jobs["slen"].ctypes.data_as(_I32P),
+        jobs["rbeg"].ctypes.data_as(_I64P),
+        jobs["rmax0"].ctypes.data_as(_I64P),
+        jobs["rmax1"].ctypes.data_as(_I64P),
+        jobs["h0"].ctypes.data_as(_I32P),
+        cap, counts.ctypes.data_as(_I64P))
+    if not handle:
+        raise RuntimeError("ext_prepare capacity exceeded")
+    return handle, jobs, int(counts[0])
+
+
+def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
+              n_jobs: int) -> np.ndarray:
+    """Run the extension device program over the job list in pow2 waves;
+    returns int32 [n_jobs, 14] results.  codes_dev/lens_dev are the device
+    read batch (passed through, not stored — -t workers each carry their
+    own batch)."""
+    out = np.empty((max(n_jobs, 1), 14), np.int32)
+    core = aligner.ext_core
+    j0 = 0
+    while j0 < n_jobs:
+        take = min(n_jobs - j0, MAX_WAVE)
+        W = MIN_WAVE
+        while W < take:
+            W <<= 1
+        sl = slice(j0, j0 + take)
+
+        def pad(a):
+            v = np.zeros(W, np.int32)
+            v[:take] = a[sl]
+            return v
+
+        res = _call_extend(aligner, codes_dev, lens_dev, pad(jobs["read"]),
+                           pad(jobs["qbeg"]), pad(jobs["slen"]),
+                           pad(jobs["rbeg"]), pad(jobs["rmax0"]),
+                           pad(jobs["rmax1"]), pad(jobs["h0"]), core)
+        out[j0:j0 + take] = np.asarray(res)[:, :take].T
+        j0 += take
+    return np.ascontiguousarray(out)
+
+
+def _call_extend(aligner, codes_dev, lens_dev, rd, qbeg, slen, rbeg, rmax0,
+                 rmax1, h0, core):
+    from tpubwa.ops.extend_flat import extend_jobs
+
+    opt = aligner.opt
+    put = aligner._put
+    return extend_jobs(
+        aligner.di, codes_dev, lens_dev,
+        put(rd), put(qbeg), put(slen), put(rbeg), put(rmax0), put(rmax1),
+        put(h0), aligner.mat_dev,
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+        zdrop=opt.zdrop, mat_max=opt.a, w0=opt.w,
+        pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3, core=core)
+
+
+def finalize_regs(handle, results: np.ndarray, n_reads: int,
+                  n_jobs: int) -> list[list[AlnReg]]:
+    """native ext_finalize: containment replay -> list[list[AlnReg]]."""
+    from tpubwa.native import load_native
+
+    lib = load_native()
+    results = np.ascontiguousarray(results, dtype=np.int32)
+    cap = max(n_jobs, 1)
+    rb = np.empty(cap, np.int64)
+    re = np.empty(cap, np.int64)
+    i32f = {k: np.empty(cap, np.int32)
+            for k in ("qb", "qe", "score", "truesc", "w", "seedcov", "rid",
+                      "seedlen0")}
+    frac = np.empty(cap, np.float64)
+    bounds = np.empty(n_reads + 1, np.int64)
+    counts = np.zeros(1, np.int64)
+    rc = lib.ext_finalize(
+        handle, results.ctypes.data_as(_I32P),
+        rb.ctypes.data_as(_I64P), re.ctypes.data_as(_I64P),
+        i32f["qb"].ctypes.data_as(_I32P), i32f["qe"].ctypes.data_as(_I32P),
+        i32f["score"].ctypes.data_as(_I32P),
+        i32f["truesc"].ctypes.data_as(_I32P),
+        i32f["w"].ctypes.data_as(_I32P),
+        i32f["seedcov"].ctypes.data_as(_I32P),
+        i32f["rid"].ctypes.data_as(_I32P),
+        i32f["seedlen0"].ctypes.data_as(_I32P),
+        frac.ctypes.data_as(_F64P),
+        bounds.ctypes.data_as(_I64P), cap, counts.ctypes.data_as(_I64P))
+    if rc != 0:
+        raise RuntimeError("ext_finalize capacity exceeded")
+    out: list[list[AlnReg]] = []
+    for r in range(n_reads):
+        regs = []
+        for i in range(int(bounds[r]), int(bounds[r + 1])):
+            regs.append(AlnReg(
+                rb=int(rb[i]), re=int(re[i]), qb=int(i32f["qb"][i]),
+                qe=int(i32f["qe"][i]), rid=int(i32f["rid"][i]),
+                score=int(i32f["score"][i]),
+                truesc=int(i32f["truesc"][i]), w=int(i32f["w"][i]),
+                seedcov=int(i32f["seedcov"][i]),
+                seedlen0=int(i32f["seedlen0"][i]),
+                frac_rep=float(frac[i])))
+        out.append(regs)
+    return out

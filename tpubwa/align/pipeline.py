@@ -73,28 +73,39 @@ class Aligner:
         self._collect = collect_smems_chain
         self._expand = seed_rows
         self.n_overflow = 0  # reads whose SMEM/seed buffers overflowed
+        import threading
+
+        self._ovf_lock = threading.Lock()  # -t workers share this Aligner
         platform = (mesh.devices.flat[0].platform if mesh is not None
                     else jax.devices()[0].platform)
         if platform == "tpu":
             # production path: VMEM-resident Pallas DP core
-            from tpubwa.ops.extend_pallas import extend_seed_batch_pallas
+            from tpubwa.ops.extend_pallas import (_extend_core_pallas,
+                                                  extend_seed_batch_pallas)
             self._extend = extend_seed_batch_pallas
+            self.ext_core = _extend_core_pallas
         else:
             self._extend = extend_seed_batch
+            self.ext_core = None
+        self.mat_dev = self._put(self.mat, batch=False)
         self.ga_exec = GABatchExecutor(self.opt, put=self._put)
         self.timers = PhaseTimers()
 
-    def _put(self, arr):
-        """Host array -> device, sharded along the batch axis on a mesh
-        (replicated when the leading dim doesn't divide — e.g. the 5x5
-        scoring matrix or scalar-per-batch metadata)."""
+    def _put(self, arr, batch: bool | None = None):
+        """Host array -> device; on a mesh, batch arrays are sharded along
+        their leading axis, everything else is replicated.  ``batch=None``
+        falls back to the divisibility heuristic (callers that know the
+        array's role pass it explicitly — ADVICE r2: a non-batch array
+        whose leading dim happens to divide the mesh must not be sharded)."""
         import jax
         import jax.numpy as jnp
 
         if self._dp is None:
             return jnp.asarray(arr)
         arr = np.asarray(arr)
-        if arr.ndim and arr.shape[0] % self._n_shard == 0:
+        if batch is None:
+            batch = bool(arr.ndim) and arr.shape[0] % self._n_shard == 0
+        if batch and arr.ndim and arr.shape[0] % self._n_shard == 0:
             return jax.device_put(arr, self._dp)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -103,11 +114,12 @@ class Aligner:
     # ------------------------------------------------ device seeding ----
 
     def seed_batch_dispatch(self, codes: np.ndarray, lens: np.ndarray):
-        """Dispatch device seeding asynchronously; returns a device handle.
+        """Dispatch device seeding; returns a handle for seed_batch_finish.
 
-        Seeding of the *next* read batch overlaps chaining / extension /
-        SAM work of the current one (the driver prefetches one batch
-        ahead — the kt_pipeline overlap, but for the accelerator)."""
+        The dispatch/finish split lets a caller overlap seeding of one
+        batch with host work on another; the production drivers get that
+        overlap from run_ordered_pool's worker threads instead and call the
+        synchronous seed_batch (profiling scripts use the split form)."""
         import jax.numpy as jnp
 
         opt = self.opt
@@ -118,9 +130,10 @@ class Aligner:
                 [codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
             lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
         with self.timers.phase("SMEM"):
+            codes_dev = self._put(np.asarray(codes, np.int32), batch=True)
+            lens_dev = self._put(np.asarray(lens, np.int32), batch=True)
             sm = self._collect(
-                self.di, self._put(np.asarray(codes, np.int32)),
-                self._put(lens),
+                self.di, codes_dev, lens_dev,
                 min_seed_len=opt.min_seed_len, split_len=opt.split_len,
                 split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
                 out_cap=opt.max_smems_per_read)
@@ -128,14 +141,14 @@ class Aligner:
                               per_read_cap=opt.max_seeds_per_read)
             ovf = (sm.overflow | cs.overflow).astype(jnp.int32)
             meta_dev = jnp.concatenate([cs.n[None], cs.l_rep, ovf])
-        return cs, meta_dev
+        return cs, meta_dev, codes_dev, lens_dev
 
     def seed_batch_finish(self, handle):
         """Block on a dispatched seeding handle; returns
         (seed_rows [n, 4] = (read_id, rbeg, qbeg, len), l_rep [B]).
         Seeds were compacted on device; only the dense prefix downloads
         (device->host bandwidth is the bottleneck)."""
-        cs, meta_dev = handle
+        cs, meta_dev = handle[0], handle[1]
         with self.timers.phase("SAL"):
             meta = np.asarray(meta_dev)
             n = int(meta[0])
@@ -145,7 +158,8 @@ class Aligner:
             if n_ovf:
                 # the reference's MAX_SEED_HITS was explicit, logged
                 # behavior (PHASE4_WEEK3_SEED_FILTERING.md) — never silent
-                self.n_overflow += n_ovf
+                with self._ovf_lock:
+                    self.n_overflow += n_ovf
                 print(f"[tpu-bwa] warning: {n_ovf} read(s) exceeded "
                       "SMEM/seed buffer caps; their seed lists were "
                       "truncated", file=sys.stderr)
@@ -203,6 +217,40 @@ class Aligner:
                                         put=self._put)
         return regs
 
+    # ------------------------------------------ flat extension path ----
+
+    def regions_batch(self, batch, seed_handle=None):
+        """Seed + chain + extend a ReadBatch; returns list[list[AlnReg]].
+
+        Production path (native lib available): flat chain/extension engine
+        — two native calls + pow2 device waves (align/flatext.py).  Falls
+        back to the per-read generator pipeline otherwise; both produce
+        identical regions (tests/test_extend_flat.py)."""
+        from tpubwa.align import flatext
+
+        if seed_handle is None:
+            seed_handle = self.seed_batch_dispatch(batch.codes, batch.lens)
+        seed_rows, l_rep = self.seed_batch_finish(seed_handle)
+        codes_dev, lens_dev = seed_handle[2], seed_handle[3]
+
+        B = batch.n
+        with self.timers.phase("CHAIN"):
+            bounds = np.searchsorted(seed_rows[:, 0], np.arange(B + 1))
+            skip = (np.asarray(batch.lens) < self.opt.min_seed_len
+                    ).astype(np.uint8)
+            prep = flatext.prepare_jobs(
+                self.opt, self.idx.l_pac, self.contig_offsets, seed_rows,
+                bounds, skip, batch.lens, l_rep[:B])
+        if prep is None:  # no native lib: per-read generator fallback
+            chains = self.chain_batch(seed_rows, l_rep, batch.lens)
+            return self.extend_batch_rounds(batch.codes, batch.lens, chains)
+        handle, jobs, n_jobs = prep
+        with self.timers.phase("BSW"):
+            results = flatext.run_waves(self, codes_dev, lens_dev, jobs,
+                                        n_jobs)
+            regs = flatext.finalize_regs(handle, results, B, n_jobs)
+        return regs
+
     # ------------------------------------------------ full batch ----
 
     def align_se_batch(self, batch, read_id0: int, seed_handle=None):
@@ -213,11 +261,7 @@ class Aligner:
         (the reference ran scalar ksw_global2 per alignment in worker_sam)."""
         from tpubwa.utils.rounds import drive_rounds
 
-        seed_rows, l_rep = (self.seed_batch(batch.codes, batch.lens)
-                            if seed_handle is None
-                            else self.seed_batch_finish(seed_handle))
-        chains = self.chain_batch(seed_rows, l_rep, batch.lens)
-        regs = self.extend_batch_rounds(batch.codes, batch.lens, chains)
+        regs = self.regions_batch(batch, seed_handle=seed_handle)
         with self.timers.phase("SAM"):
             gens = [
                 finalize.se_records_g(
@@ -249,20 +293,70 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
     idx = FMIndex.load(ref)
     aligner = Aligner(idx, opt)
     out.write(sam_header(idx.contigs, cmdline, tpubwa.__version__))
+    manifest = _run_manifest(ref, fq1, fq2, opt) if chunk_dir else None
 
     if fq2 is not None:
         from tpubwa.align.pair import align_pe_fastq
 
         return align_pe_fastq(aligner, fq1, fq2, out, workers=threads,
-                              chunk_dir=chunk_dir)
+                              chunk_dir=chunk_dir, manifest=manifest)
 
-    run_se_pipeline(aligner, fq1, out, workers=threads, chunk_dir=chunk_dir)
+    run_se_pipeline(aligner, fq1, out, workers=threads, chunk_dir=chunk_dir,
+                    manifest=manifest)
     print(aligner.timers.report(), file=sys.stderr)
     return 0
 
 
+def _run_manifest(ref: str, fq1: str, fq2: str | None,
+                  opt: MemOptions) -> dict:
+    """Identity of an alignment run for --chunks resume validation: the
+    inputs (path + size + mtime) and every option that affects chunk
+    boundaries or content."""
+    import dataclasses
+    import os
+
+    def fid(p):
+        st = os.stat(p)
+        return [os.path.abspath(p), st.st_size, st.st_mtime]
+
+    return {
+        "ref": fid(ref),
+        "fq1": fid(fq1),
+        "fq2": fid(fq2) if fq2 else None,
+        "opt": {k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in dataclasses.asdict(opt).items()},
+    }
+
+
+def _check_chunk_manifest(chunk_dir: str, manifest: dict | None) -> None:
+    """Refuse to resume from chunks produced under a different run identity
+    (input files, batch size, alignment options): stale chunk files would be
+    spliced into the output verbatim and silently corrupt the SAM."""
+    import json
+    import os
+
+    if manifest is None:
+        return
+    path = os.path.join(chunk_dir, "manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != manifest:
+            raise RuntimeError(
+                f"chunk dir {chunk_dir} was written by a different run "
+                f"(manifest mismatch); delete it or point --chunks at a "
+                f"fresh directory.\n  existing: {prev}\n  current:  "
+                f"{manifest}")
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+
+
 def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
-                     chunk_dir: str | None = None) -> int:
+                     chunk_dir: str | None = None,
+                     manifest: dict | None = None) -> int:
     """Generic pipelined driver: a reader thread streams work items,
     ``workers`` threads each process whole items (device calls from all
     workers interleave on the chip's stream while host Python of one item
@@ -270,7 +364,10 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
     in input order so output is deterministic regardless of scheduling.
 
     Reference analog: fastmap.cpp's kt_pipeline + kt_for workers (SURVEY.md
-    §3.1); ``-t`` drives the worker count like the reference's thread flag.
+    §3.1); ``-t`` drives the worker count like the reference's thread flag
+    (any requested count is honored — overlap benefit saturates once host
+    work hides device waits, exactly like the reference past its core
+    count, but the choice is the user's).
 
     ``items`` yields (payload, n_units); ``work(payload) -> text``.
 
@@ -278,7 +375,9 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
     idempotent chunk file (atomic tmp+rename); items whose chunk already
     exists are NOT recomputed — re-running an interrupted command resumes
     from the completed chunks (SURVEY.md §5 "Failure detection": per-shard
-    restart + idempotent output chunking)."""
+    restart + idempotent output chunking).  ``manifest`` identifies the run
+    (inputs + options); resuming from a chunk dir whose manifest differs is
+    an error."""
     import heapq
     import os
     import queue
@@ -286,28 +385,50 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
 
     if chunk_dir:
         os.makedirs(chunk_dir, exist_ok=True)
+        _check_chunk_manifest(chunk_dir, manifest)
 
     def chunk_path(seq: int) -> str:
         return os.path.join(chunk_dir, f"chunk_{seq:06d}.sam")
 
-    workers = max(1, min(int(workers), 8))
+    workers = max(1, int(workers))
     in_q: "queue.Queue" = queue.Queue(maxsize=workers + 1)
     out_q: "queue.Queue" = queue.Queue(maxsize=workers * 2 + 2)
     err: list[BaseException] = []
+    stop = threading.Event()  # set on any worker/reader error
     n_done = 0
     done_lock = threading.Lock()
 
     def reader():
         try:
             for seq, (payload, n_units) in enumerate(items):
-                if err:
+                if stop.is_set():
                     break
-                in_q.put((seq, payload, n_units))
+                # bounded put that stays responsive to worker errors: if
+                # every worker died the queue never drains and a plain
+                # put() would deadlock the whole pool (ADVICE r2 #1)
+                while True:
+                    try:
+                        in_q.put((seq, payload, n_units), timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            return
         except BaseException as e:  # propagate to main
             err.append(e)
+            stop.set()
         finally:
             for _ in range(workers):
-                in_q.put(None)
+                while True:
+                    try:
+                        in_q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            # drain so the sentinel fits; workers are dead
+                            try:
+                                in_q.get_nowait()
+                            except queue.Empty:
+                                pass
 
     def worker():
         nonlocal n_done
@@ -330,6 +451,7 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
                         os.replace(tmp, chunk_path(seq))  # atomic publish
             except BaseException as e:
                 err.append(e)
+                stop.set()
                 out_q.put(None)
                 return
             with done_lock:
@@ -374,7 +496,8 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
 
 
 def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
-                    chunk_dir: str | None = None) -> int:
+                    chunk_dir: str | None = None,
+                    manifest: dict | None = None) -> int:
     """Pipelined SE driver over run_ordered_pool."""
     from tpubwa.io.fastq import stream_batches
 
@@ -392,4 +515,4 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
         return "".join(r.line() + "\n" for rl in recs for r in rl)
 
     return run_ordered_pool(items(), work, out, workers,
-                            chunk_dir=chunk_dir)
+                            chunk_dir=chunk_dir, manifest=manifest)

@@ -69,3 +69,29 @@ def _declare(lib) -> None:
         i32p, i32p, i32p, i64p, i64p, c.c_int64,  # outputs + cap
         i64p,                     # out_counts
     ]
+
+    f64p = c.POINTER(c.c_double)
+    lib.ext_prepare.restype = c.c_void_p
+    lib.ext_prepare.argtypes = [
+        i64p, c.c_int64,          # seed_rows, n_seeds
+        i64p, c.c_int64,          # read_bounds, n_reads
+        u8p,                      # skip_read
+        i64p, c.c_int64, c.c_int64,   # contig_offsets, n_contigs, l_pac
+        i32p, i32p,               # lens, l_rep
+        c.c_int32, c.c_int32, c.c_int32, c.c_int64,  # w, gap, minw, maxext
+        c.c_double, c.c_double, c.c_int32,  # mask_level, drop_ratio, minseed
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,  # a, gaps
+        c.c_int32, c.c_int32,     # pen_clip5, pen_clip3
+        i32p, i32p, i32p, i64p, i64p, i64p, i32p,  # job outputs
+        c.c_int64, i64p,          # cap, out_counts
+    ]
+    lib.ext_finalize.restype = c.c_int
+    lib.ext_finalize.argtypes = [
+        c.c_void_p, i32p,         # handle, results [n_jobs, 14]
+        i64p, i64p,               # reg_rb, reg_re
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # int32 reg fields
+        f64p,                     # reg_frac_rep
+        i64p, c.c_int64, i64p,    # reg_bounds, cap, out_counts
+    ]
+    lib.ext_free.restype = None
+    lib.ext_free.argtypes = [c.c_void_p]

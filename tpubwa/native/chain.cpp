@@ -1,198 +1,23 @@
-// Seed chaining + chain filtering — native host engine.
+// Seed chaining + chain filtering — native host engine (batch entry point).
 //
 // Exact re-implementation of tpubwa/align/chain.py's chain_read +
 // filter_chains (themselves the semantics of bwa-mem's mem_chain /
 // mem_chain_flt — reference call stack SURVEY.md §3.1 worker_aln ->
 // mem_chain_seeds, [src] bwamem.cpp:808).  The Python module remains the
 // correctness reference; tests/test_chain_native.py pins this code to it
-// with exact-equality differential tests.
+// with exact-equality differential tests.  The chaining internals live in
+// core.h, shared with the extension orchestrator (extension.cpp).
 //
 // Batch interface: one call chains every read of a device batch.  Seeds
 // arrive as the (read_id, rbeg, qbeg, len) rows downloaded from the device
 // seeding engine, already grouped by read and in SMEM order.
 
 #include <cstdint>
-#include <cstring>
 #include <vector>
-#include <algorithm>
 
-namespace {
+#include "core.h"
 
-struct SeedRef {
-    int64_t rbeg, qbeg, len;
-};
-
-struct Ch {
-    int64_t pos;               // anchor: rbeg of the founding seed
-    int32_t rid;
-    int32_t w = 0;             // weight (set by filter)
-    int32_t kept = 0;
-    int64_t first = -1;
-    std::vector<int64_t> seeds;  // indices into the batch seed_rows
-};
-
-struct Opts {
-    int32_t w;
-    int32_t max_chain_gap;
-    int32_t min_chain_weight;
-    int64_t max_chain_extend;
-    double mask_level;
-    double drop_ratio;
-    int32_t min_seed_len;
-};
-
-inline SeedRef seed_at(const int64_t* rows, int64_t i) {
-    return SeedRef{rows[i * 4 + 1], rows[i * 4 + 2], rows[i * 4 + 3]};
-}
-
-// np.searchsorted(offsets, pos, side="right") - 1
-inline int64_t pos_to_rid(const int64_t* offs, int64_t n_contigs,
-                          int64_t l_pac, int64_t pos) {
-    if (pos < 0 || pos >= l_pac) return -1;
-    const int64_t* ub = std::upper_bound(offs, offs + n_contigs, pos);
-    return (ub - offs) - 1;
-}
-
-// bns_intv2rid semantics (chain.py intv_to_rid)
-inline int64_t intv_to_rid(const int64_t* offs, int64_t n_contigs,
-                           int64_t l_pac, int64_t rb, int64_t re) {
-    if (rb < l_pac && re > l_pac) return -2;
-    int64_t b = rb, e = re - 1;
-    if (rb >= l_pac) {
-        b = 2 * l_pac - 1 - (re - 1);
-        e = 2 * l_pac - 1 - rb;
-    }
-    int64_t rid_b = pos_to_rid(offs, n_contigs, l_pac, b);
-    int64_t rid_e = pos_to_rid(offs, n_contigs, l_pac, e);
-    return rid_b == rid_e ? rid_b : -1;
-}
-
-// bwa test_and_merge (chain.py _test_and_merge)
-bool test_and_merge(const Opts& o, int64_t l_pac, const int64_t* rows,
-                    Ch& c, const SeedRef& s, int64_t s_idx, int64_t rid) {
-    SeedRef last = seed_at(rows, c.seeds.back());
-    SeedRef first = seed_at(rows, c.seeds.front());
-    int64_t qend = last.qbeg + last.len;
-    int64_t rend = last.rbeg + last.len;
-    if (rid != c.rid) return false;
-    if (s.qbeg >= first.qbeg && s.qbeg + s.len <= qend &&
-        s.rbeg >= first.rbeg && s.rbeg + s.len <= rend)
-        return true;  // contained seed; do nothing
-    if ((last.rbeg < l_pac || first.rbeg < l_pac) && s.rbeg >= l_pac)
-        return false;  // don't chain across strands
-    int64_t x = s.qbeg - last.qbeg;  // non-negative (seeds sorted by qbeg)
-    int64_t y = s.rbeg - last.rbeg;
-    if (y >= 0 && x - y <= o.w && y - x <= o.w &&
-        x - last.len < o.max_chain_gap && y - last.len < o.max_chain_gap) {
-        c.seeds.push_back(s_idx);
-        return true;
-    }
-    return false;
-}
-
-// min(query coverage, reference coverage) — chain.py chain_weight
-int32_t chain_weight(const int64_t* rows, const Ch& c) {
-    int64_t w_q = 0, end = 0;
-    for (int64_t i : c.seeds) {
-        SeedRef s = seed_at(rows, i);
-        if (s.qbeg >= end) w_q += s.len;
-        else if (s.qbeg + s.len > end) w_q += s.qbeg + s.len - end;
-        end = std::max(end, s.qbeg + s.len);
-    }
-    std::vector<int64_t> by_r(c.seeds);
-    std::stable_sort(by_r.begin(), by_r.end(), [&](int64_t a, int64_t b) {
-        return seed_at(rows, a).rbeg < seed_at(rows, b).rbeg;
-    });
-    int64_t w_r = 0;
-    end = 0;
-    for (int64_t i : by_r) {
-        SeedRef s = seed_at(rows, i);
-        if (s.rbeg >= end) w_r += s.len;
-        else if (s.rbeg + s.len > end) w_r += s.rbeg + s.len - end;
-        end = std::max(end, s.rbeg + s.len);
-    }
-    int64_t w = std::min(w_q, w_r);
-    return (int32_t)std::min(w, (int64_t)((1u << 30) - 1));
-}
-
-inline int64_t ch_qbeg(const int64_t* rows, const Ch& c) {
-    return seed_at(rows, c.seeds.front()).qbeg;
-}
-inline int64_t ch_qend(const int64_t* rows, const Ch& c) {
-    SeedRef s = seed_at(rows, c.seeds.back());
-    return s.qbeg + s.len;
-}
-
-// mem_chain_flt (chain.py filter_chains); chains enter in anchor-pos order
-// and leave filtered, in weight-descending order.
-void filter_chains(const Opts& o, const int64_t* rows,
-                   std::vector<Ch>& chains, std::vector<Ch>& out) {
-    if (chains.empty()) return;
-    for (Ch& c : chains) {
-        c.first = -1;
-        c.kept = 0;
-        c.w = chain_weight(rows, c);
-    }
-    std::vector<Ch> kept_v;
-    kept_v.reserve(chains.size());
-    for (Ch& c : chains)
-        if (c.w >= o.min_chain_weight) kept_v.push_back(std::move(c));
-    if (kept_v.empty()) return;
-    // stable sort by weight desc (ties keep pos order)
-    std::stable_sort(kept_v.begin(), kept_v.end(),
-                     [](const Ch& a, const Ch& b) { return a.w > b.w; });
-    kept_v[0].kept = 3;
-    std::vector<int64_t> kept_idx{0};
-    for (size_t i = 1; i < kept_v.size(); i++) {
-        Ch& c = kept_v[i];
-        bool large_ovlp = false, drop = false;
-        for (int64_t j : kept_idx) {
-            Ch& cj = kept_v[j];
-            int64_t b_max = std::max(ch_qbeg(rows, cj), ch_qbeg(rows, c));
-            int64_t e_min = std::min(ch_qend(rows, cj), ch_qend(rows, c));
-            if (e_min > b_max) {  // overlap on the query
-                int64_t li = ch_qend(rows, c) - ch_qbeg(rows, c);
-                int64_t lj = ch_qend(rows, cj) - ch_qbeg(rows, cj);
-                int64_t min_l = std::min(li, lj);
-                if ((double)(e_min - b_max) >= (double)min_l * o.mask_level
-                    && min_l < o.max_chain_gap) {
-                    large_ovlp = true;
-                    if (cj.first < 0) cj.first = (int64_t)i;
-                    if ((double)c.w < (double)cj.w * o.drop_ratio
-                        && cj.w - c.w >= o.min_seed_len * 2) {
-                        drop = true;
-                        break;
-                    }
-                }
-            }
-        }
-        if (!drop) {
-            kept_idx.push_back((int64_t)i);
-            c.kept = large_ovlp ? 2 : 3;
-        }
-    }
-    for (int64_t j : kept_idx) {
-        int64_t f = kept_v[j].first;
-        if (f >= 0) kept_v[f].kept = 1;
-    }
-    // cap the number of kept==1/2 chains at max_chain_extend
-    int64_t k = 0, stop_i = (int64_t)kept_v.size();
-    for (size_t i = 0; i < kept_v.size(); i++) {
-        Ch& c = kept_v[i];
-        if (c.kept == 0 || c.kept == 3) continue;
-        k++;
-        if (k >= o.max_chain_extend) {
-            stop_i = (int64_t)i;
-            break;
-        }
-    }
-    for (size_t i = (size_t)(stop_i + 1); i < kept_v.size(); i++)
-        if (kept_v[i].kept < 3) kept_v[i].kept = 0;
-    for (Ch& c : kept_v)
-        if (c.kept > 0) out.push_back(std::move(c));
-}
-
-}  // namespace
+using namespace tpubwa;
 
 extern "C" {
 
@@ -221,42 +46,16 @@ int chain_filter_batch(
     int32_t* out_chain_read, int32_t* out_chain_rid, int32_t* out_chain_w,
     int64_t* out_chain_off, int64_t* out_seed_idx, int64_t cap,
     int64_t* out_counts) {
-    Opts o{w, max_chain_gap, min_chain_weight, max_chain_extend,
-           mask_level, drop_ratio, min_seed_len};
+    ChainOpts o{w, max_chain_gap, min_chain_weight, max_chain_extend,
+                mask_level, drop_ratio, min_seed_len};
     int64_t n_chains = 0, n_out_seeds = 0;
     out_chain_off[0] = 0;
-    std::vector<Ch> chains, kept;
+    std::vector<Ch> scratch, kept;
     for (int64_t r = 0; r < n_reads; r++) {
         if (skip_read[r]) continue;
-        chains.clear();
         kept.clear();
-        for (int64_t i = read_bounds[r]; i < read_bounds[r + 1]; i++) {
-            SeedRef s = seed_at(seed_rows, i);
-            int64_t rid = intv_to_rid(contig_offsets, n_contigs, l_pac,
-                                      s.rbeg, s.rbeg + s.len);
-            if (rid < 0) continue;
-            bool merged = false;
-            if (!chains.empty()) {
-                // chain with the largest anchor <= s.rbeg
-                auto it = std::upper_bound(
-                    chains.begin(), chains.end(), s.rbeg,
-                    [](int64_t v, const Ch& c) { return v < c.pos; });
-                if (it != chains.begin())
-                    merged = test_and_merge(o, l_pac, seed_rows, *(it - 1),
-                                            s, i, rid);
-            }
-            if (!merged) {
-                auto it = std::upper_bound(
-                    chains.begin(), chains.end(), s.rbeg,
-                    [](int64_t v, const Ch& c) { return v < c.pos; });
-                Ch nc;
-                nc.pos = s.rbeg;
-                nc.rid = (int32_t)rid;
-                nc.seeds.push_back(i);
-                chains.insert(it, std::move(nc));
-            }
-        }
-        filter_chains(o, seed_rows, chains, kept);
+        chain_one_read(o, seed_rows, read_bounds[r], read_bounds[r + 1],
+                       contig_offsets, n_contigs, l_pac, scratch, kept);
         for (Ch& c : kept) {
             if (n_chains >= cap) return -1;
             out_chain_read[n_chains] = (int32_t)r;

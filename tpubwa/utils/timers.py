@@ -14,6 +14,7 @@ We keep the same phase names so profiles are comparable:
 """
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -24,6 +25,9 @@ class PhaseTimers:
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
         self._t0 = time.monotonic()
+        # totals/counts updates are read-modify-write; the pipeline's -t
+        # workers share one PhaseTimers (ADVICE r2: racy counters)
+        self._lock = threading.Lock()
 
     @contextmanager
     def phase(self, name: str):
@@ -31,8 +35,10 @@ class PhaseTimers:
         try:
             yield
         finally:
-            self.totals[name] += time.monotonic() - t
-            self.counts[name] += 1
+            dt = time.monotonic() - t
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def overall(self) -> float:
         return time.monotonic() - self._t0
