@@ -260,6 +260,13 @@ def matesw_gen(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                         break
                 ma.insert(pos, b)
             n += 1
+        # bwa's mem_matesw breaks after the FIRST direction in which a
+        # rescue SW was *performed* (its ++n counts attempts, successful or
+        # not, and `if (n) break;` follows — "if haven't found any hit, go
+        # through other directions").  Directions that never reach the SW
+        # (off-contig window, window shorter than min_seed_len) fall through
+        # to later orientations.  Pinned by
+        # tests/test_matesw.py::test_matesw_falls_through_unattempted_dirs.
         if n:
             break
     return n
