@@ -178,3 +178,39 @@ def test_chain_collect_matches_scalar(idx, rng):
                 got = (int(sm.k[b, j]), int(sm.l[b, j]), int(sm.s[b, j]),
                        int(sm.start[b, j]), int(sm.end[b, j]))
                 assert got == (m.k, m.l, m.s, m.start, m.end), (trial, b, j)
+
+
+def test_ref_window_fetch_matches_per_base():
+    """ref_window_left/right (word-gather window fetch, the extension hot
+    path) must equal fetch_ref_batch per-element on every strand/direction
+    combination, over the window's strand-valid span."""
+    import jax.numpy as jnp
+
+    from tpubwa.index.fmindex import Contig, FMIndex
+    from tpubwa.ops.fm import (DeviceIndex, fetch_ref_batch,
+                               ref_window_left, ref_window_right)
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    idx = FMIndex.build([Contig("c", 5000, 0)], codes)
+    di = DeviceIndex.from_host(idx)
+    L = int(idx.l_pac)
+    T, J = 768, 64
+    jt = np.arange(T)[None, :]
+
+    starts = np.concatenate([rng.integers(0, L, J // 2),
+                             rng.integers(L, 2 * L, J // 2)]).astype(np.int32)
+    ref = np.asarray(fetch_ref_batch(di, jnp.asarray(starts[:, None] + jt)))
+    got = np.asarray(ref_window_right(di, jnp.asarray(starts), T))
+    strand_hi = np.where(starts < L, L, 2 * L)
+    valid = (starts[:, None] + jt) < strand_hi[:, None]
+    assert np.array_equal(np.where(valid, got, -1), np.where(valid, ref, -1))
+
+    bs = np.concatenate([rng.integers(1, L, J // 2),
+                         rng.integers(L + 1, 2 * L + 1, J // 2)]
+                        ).astype(np.int32)
+    ref = np.asarray(fetch_ref_batch(di, jnp.asarray(bs[:, None] - 1 - jt)))
+    got = np.asarray(ref_window_left(di, jnp.asarray(bs), T))
+    strand_lo = np.where(bs - 1 < L, 0, L)
+    valid = (bs[:, None] - 1 - jt) >= strand_lo[:, None]
+    assert np.array_equal(np.where(valid, got, -1), np.where(valid, ref, -1))

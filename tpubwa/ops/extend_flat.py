@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tpubwa.ops.extend import extend_seed_batch
-from tpubwa.ops.fm import DeviceIndex, fetch_ref_batch
+from tpubwa.ops.fm import (DeviceIndex, ref_window_left, ref_window_right)
 
 I32 = jnp.int32
 
@@ -67,7 +67,7 @@ def extend_jobs(di: DeviceIndex, codes: jax.Array, lens: jax.Array,
     q_l = jnp.take_along_axis(qg, jnp.clip(qidx_l, 0, L - 1), axis=1)
     q_l = jnp.where(jq < qlen_l[:, None], q_l, 4)
     tlen_l = jnp.minimum(rbeg - rmax0, t_pad)
-    t_l = fetch_ref_batch(di, rbeg[:, None] - 1 - jt)
+    t_l = ref_window_left(di, rbeg, t_pad)   # word-gather, 1/16th elements
     t_l = jnp.where(jt < tlen_l[:, None], t_l, 4)
 
     # right: query[qe:l_query]; ref[rbeg+slen : rmax1]
@@ -78,7 +78,7 @@ def extend_jobs(di: DeviceIndex, codes: jax.Array, lens: jax.Array,
     q_r = jnp.where(jq < qlen_r[:, None], q_r, 4)
     re0 = rbeg + slen
     tlen_r = jnp.minimum(rmax1 - re0, t_pad)
-    t_r = fetch_ref_batch(di, re0[:, None] + jt)
+    t_r = ref_window_right(di, re0, t_pad)
     t_r = jnp.where(jt < tlen_r[:, None], t_r, 4)
 
     w0v = jnp.full((J,), w0, I32)

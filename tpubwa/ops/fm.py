@@ -170,3 +170,54 @@ def fetch_ref_batch(di: DeviceIndex, pos: jax.Array) -> jax.Array:
     code = code.astype(jnp.int32)
     code = jnp.where(fwd, code, 3 - code)
     return jnp.where(in_range, code, 4)
+
+
+# ------------------------------------------- contiguous window fetch ----
+#
+# The extension hot path fetches CONSECUTIVE reference windows (the chain's
+# rmax window around each seed, never crossing the l_pac strand boundary —
+# native/extension.cpp clamps it).  A per-base gather costs one gathered
+# element per base; fetching the 2-bit packed WORDS instead costs 1/16th
+# the gather elements, and the unpack + per-row alignment shift is pure
+# vector work (reference analog: the one-cache-line GET_OCC idea applied
+# to the bandedSWA ref windows).
+
+
+def _ref_window_block(di: DeviceIndex, lo: jax.Array, T: int) -> jax.Array:
+    """Physical-coordinate codes [J, T] ascending from per-row ``lo``
+    (forward-strand coords; lo may be negative or past l_pac — such slots
+    hold garbage that callers mask by window length)."""
+    J = lo.shape[0]
+    WN = T // 16 + 1
+    n_words = di.pac_words.shape[0]
+    w_idx = (lo[:, None] >> 4) + jnp.arange(WN, dtype=jnp.int32)[None, :]
+    words = di.pac_words[jnp.clip(w_idx, 0, n_words - 1)]      # [J, WN]
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = (words[:, :, None] >> shifts) & jnp.uint32(3)      # [J, WN, 16]
+    u = codes.reshape(J, WN * 16).astype(jnp.int32)
+    o = lo & 15                                 # row phase within its word
+    for s in (8, 4, 2, 1):                      # per-row left-shift by o
+        shifted = jnp.concatenate(
+            [u[:, s:], jnp.zeros((J, s), jnp.int32)], axis=1)
+        u = jnp.where((o[:, None] & s) != 0, shifted, u)
+    return u[:, :T]
+
+
+def ref_window_right(di: DeviceIndex, start: jax.Array, T: int) -> jax.Array:
+    """out[j, t] = ref code at (start[j] + t) in 2*l_pac coords, for a
+    window that stays on one strand; slots past the strand-valid span are
+    garbage (callers mask by tlen)."""
+    rev = start >= di.l_pac
+    hi = 2 * di.l_pac - 1 - start               # rev-strand physical top
+    lo = jnp.where(rev, hi - (T - 1), start)
+    block = _ref_window_block(di, lo, T)
+    return jnp.where(rev[:, None], (3 - block)[:, ::-1], block)
+
+
+def ref_window_left(di: DeviceIndex, b: jax.Array, T: int) -> jax.Array:
+    """out[j, t] = ref code at (b[j] - 1 - t): a window read DESCENDING
+    from b-1 (the left-extension target order); same masking contract."""
+    rev = (b - 1) >= di.l_pac
+    lo = jnp.where(rev, 2 * di.l_pac - b, b - T)
+    block = _ref_window_block(di, lo, T)
+    return jnp.where(rev[:, None], 3 - block, block[:, ::-1])
