@@ -78,8 +78,13 @@ def gen_cigar_g(opt: MemOptions, idx: FMIndex, query_seg: np.ndarray,
     rseq = idx.fetch_ref(rb, re)
     query = np.asarray(query_seg, dtype=np.uint8)
     if rb >= idx.l_pac:
+        # reverse-COMPLEMENT both (bwa bwa_gen_cigar2): scores/cigar are
+        # complement-invariant, but the MD tag letters must be the
+        # genome-FORWARD reference bases (2*l_pac-space codes are the
+        # revcomp strand); N (code 4) stays N
         query = query[::-1].copy()
-        rseq = rseq[::-1].copy()
+        query = np.where(query < 4, 3 - query, query).astype(np.uint8)
+        rseq = (3 - rseq[::-1]).astype(np.uint8)  # fetch never returns N
     rlen = re - rb
     if l_query == rlen and w == 0:
         mat = opt.score_matrix()
