@@ -137,47 +137,59 @@ def _call_extend(aligner, codes_dev, lens_dev, rd, qbeg, slen, rbeg, rmax0,
         pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3, core=core)
 
 
-def finalize_regs(handle, results: np.ndarray, n_reads: int,
-                  n_jobs: int) -> list[list[AlnReg]]:
-    """native ext_finalize: containment replay -> list[list[AlnReg]]."""
+def finalize_fields(handle, results: np.ndarray, n_reads: int,
+                    n_jobs: int) -> tuple[dict, np.ndarray]:
+    """native ext_finalize: containment replay -> flat per-region arrays
+    (fields dict + bounds[n_reads+1]) — the flat SAM path consumes these
+    directly (align/flatsam.py); finalize_regs wraps them into AlnReg
+    lists for the generator path."""
     from tpubwa.native import load_native
 
     lib = load_native()
     results = np.ascontiguousarray(results, dtype=np.int32)
     cap = max(n_jobs, 1)
-    rb = np.empty(cap, np.int64)
-    re = np.empty(cap, np.int64)
-    i32f = {k: np.empty(cap, np.int32)
-            for k in ("qb", "qe", "score", "truesc", "w", "seedcov", "rid",
-                      "seedlen0")}
-    frac = np.empty(cap, np.float64)
+    fields: dict = {"rb": np.empty(cap, np.int64),
+                    "re": np.empty(cap, np.int64)}
+    for k in ("qb", "qe", "score", "truesc", "w", "seedcov", "rid",
+              "seedlen0"):
+        fields[k] = np.empty(cap, np.int32)
+    fields["frac_rep"] = np.empty(cap, np.float64)
     bounds = np.empty(n_reads + 1, np.int64)
     counts = np.zeros(1, np.int64)
     rc = lib.ext_finalize(
         handle, results.ctypes.data_as(_I32P),
-        rb.ctypes.data_as(_I64P), re.ctypes.data_as(_I64P),
-        i32f["qb"].ctypes.data_as(_I32P), i32f["qe"].ctypes.data_as(_I32P),
-        i32f["score"].ctypes.data_as(_I32P),
-        i32f["truesc"].ctypes.data_as(_I32P),
-        i32f["w"].ctypes.data_as(_I32P),
-        i32f["seedcov"].ctypes.data_as(_I32P),
-        i32f["rid"].ctypes.data_as(_I32P),
-        i32f["seedlen0"].ctypes.data_as(_I32P),
-        frac.ctypes.data_as(_F64P),
+        fields["rb"].ctypes.data_as(_I64P),
+        fields["re"].ctypes.data_as(_I64P),
+        fields["qb"].ctypes.data_as(_I32P),
+        fields["qe"].ctypes.data_as(_I32P),
+        fields["score"].ctypes.data_as(_I32P),
+        fields["truesc"].ctypes.data_as(_I32P),
+        fields["w"].ctypes.data_as(_I32P),
+        fields["seedcov"].ctypes.data_as(_I32P),
+        fields["rid"].ctypes.data_as(_I32P),
+        fields["seedlen0"].ctypes.data_as(_I32P),
+        fields["frac_rep"].ctypes.data_as(_F64P),
         bounds.ctypes.data_as(_I64P), cap, counts.ctypes.data_as(_I64P))
     if rc != 0:
         raise RuntimeError("ext_finalize capacity exceeded")
+    return fields, bounds
+
+
+def finalize_regs(handle, results: np.ndarray, n_reads: int,
+                  n_jobs: int) -> list[list[AlnReg]]:
+    """native ext_finalize: containment replay -> list[list[AlnReg]]."""
+    fields, bounds = finalize_fields(handle, results, n_reads, n_jobs)
     out: list[list[AlnReg]] = []
     for r in range(n_reads):
         regs = []
         for i in range(int(bounds[r]), int(bounds[r + 1])):
             regs.append(AlnReg(
-                rb=int(rb[i]), re=int(re[i]), qb=int(i32f["qb"][i]),
-                qe=int(i32f["qe"][i]), rid=int(i32f["rid"][i]),
-                score=int(i32f["score"][i]),
-                truesc=int(i32f["truesc"][i]), w=int(i32f["w"][i]),
-                seedcov=int(i32f["seedcov"][i]),
-                seedlen0=int(i32f["seedlen0"][i]),
-                frac_rep=float(frac[i])))
+                rb=int(fields["rb"][i]), re=int(fields["re"][i]),
+                qb=int(fields["qb"][i]), qe=int(fields["qe"][i]),
+                rid=int(fields["rid"][i]), score=int(fields["score"][i]),
+                truesc=int(fields["truesc"][i]), w=int(fields["w"][i]),
+                seedcov=int(fields["seedcov"][i]),
+                seedlen0=int(fields["seedlen0"][i]),
+                frac_rep=float(fields["frac_rep"][i])))
         out.append(regs)
     return out

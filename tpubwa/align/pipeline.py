@@ -219,13 +219,12 @@ class Aligner:
 
     # ------------------------------------------ flat extension path ----
 
-    def regions_batch(self, batch, seed_handle=None):
-        """Seed + chain + extend a ReadBatch; returns list[list[AlnReg]].
+    def _regions_flat(self, batch, seed_handle=None):
+        """Seed + chain + extend a ReadBatch via the flat native engine.
 
-        Production path (native lib available): flat chain/extension engine
-        — two native calls + pow2 device waves (align/flatext.py).  Falls
-        back to the per-read generator pipeline otherwise; both produce
-        identical regions (tests/test_extend_flat.py)."""
+        Returns ((fields, bounds), None) on the native path or
+        (None, (seed_rows, l_rep)) when the native lib is unavailable
+        (callers fall back to the per-read generator pipeline)."""
         from tpubwa.align import flatext
 
         if seed_handle is None:
@@ -241,27 +240,58 @@ class Aligner:
             prep = flatext.prepare_jobs(
                 self.opt, self.idx.l_pac, self.contig_offsets, seed_rows,
                 bounds, skip, batch.lens, l_rep[:B])
-        if prep is None:  # no native lib: per-read generator fallback
-            chains = self.chain_batch(seed_rows, l_rep, batch.lens)
-            return self.extend_batch_rounds(batch.codes, batch.lens, chains)
+        if prep is None:
+            return None, (seed_rows, l_rep)
         handle, jobs, n_jobs = prep
         with self.timers.phase("BSW"):
             results = flatext.run_waves(self, codes_dev, lens_dev, jobs,
                                         n_jobs)
-            regs = flatext.finalize_regs(handle, results, B, n_jobs)
-        return regs
+            fields, fbounds = flatext.finalize_fields(handle, results, B,
+                                                      n_jobs)
+        return (fields, fbounds), None
+
+    def regions_batch(self, batch, seed_handle=None):
+        """Seed + chain + extend a ReadBatch; returns list[list[AlnReg]].
+
+        Production path (native lib available): flat chain/extension engine
+        — two native calls + pow2 device waves (align/flatext.py).  Falls
+        back to the per-read generator pipeline otherwise; both produce
+        identical regions (tests/test_extend_flat.py)."""
+        from tpubwa.align.flatsam import _alnregs_for
+
+        flat, fallback = self._regions_flat(batch, seed_handle=seed_handle)
+        if flat is None:  # no native lib: per-read generator fallback
+            seed_rows, l_rep = fallback
+            chains = self.chain_batch(seed_rows, l_rep, batch.lens)
+            return self.extend_batch_rounds(batch.codes, batch.lens, chains)
+        fields, fbounds = flat
+        return [_alnregs_for(fields, fbounds, b) for b in range(batch.n)]
 
     # ------------------------------------------------ full batch ----
 
-    def align_se_batch(self, batch, read_id0: int, seed_handle=None):
-        """Align a ReadBatch single-end; returns list[list[SamRecord]].
+    def align_se_text(self, batch, read_id0: int, seed_handle=None) -> str:
+        """Align a ReadBatch single-end; returns SAM text (the production
+        SE path: flat columnar finalize, align/flatsam.py).  Byte-identical
+        to align_se_batch's records (tests/test_flatsam.py)."""
+        from tpubwa.align import flatsam
 
-        SAM finalization drives all reads' generators in lockstep rounds so
-        every CIGAR DP fill in the batch runs as bucketed device calls
-        (the reference ran scalar ksw_global2 per alignment in worker_sam)."""
+        if seed_handle is None:
+            seed_handle = self.seed_batch_dispatch(batch.codes, batch.lens)
+        flat, fallback = self._regions_flat(batch, seed_handle=seed_handle)
+        if flat is None:
+            recs = self._se_records_from_regs(
+                batch, read_id0,
+                self.extend_batch_rounds(
+                    batch.codes, batch.lens,
+                    self.chain_batch(*fallback, batch.lens)))
+            return "".join(r.line() + "\n" for rl in recs for r in rl)
+        with self.timers.phase("SAM"):
+            return flatsam.se_text_batch(self, batch, read_id0, *flat,
+                                         codes_dev=seed_handle[2])
+
+    def _se_records_from_regs(self, batch, read_id0: int, regs):
         from tpubwa.utils.rounds import drive_rounds
 
-        regs = self.regions_batch(batch, seed_handle=seed_handle)
         with self.timers.phase("SAM"):
             gens = [
                 finalize.se_records_g(
@@ -270,8 +300,16 @@ class Aligner:
                     regs[b], read_id0 + b)
                 for b in range(batch.n)
             ]
-            out = drive_rounds(gens, self.ga_exec)
-        return out
+            return drive_rounds(gens, self.ga_exec)
+
+    def align_se_batch(self, batch, read_id0: int, seed_handle=None):
+        """Align a ReadBatch single-end; returns list[list[SamRecord]].
+
+        SAM finalization drives all reads' generators in lockstep rounds so
+        every CIGAR DP fill in the batch runs as bucketed device calls
+        (the reference ran scalar ksw_global2 per alignment in worker_sam)."""
+        regs = self.regions_batch(batch, seed_handle=seed_handle)
+        return self._se_records_from_regs(batch, read_id0, regs)
 
 
 def align_fastq(ref: str, fq1: str, fq2: str | None, out,
@@ -511,8 +549,7 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
 
     def work(payload):
         batch, read_id0 = payload
-        recs = aligner.align_se_batch(batch, read_id0)
-        return "".join(r.line() + "\n" for rl in recs for r in rl)
+        return aligner.align_se_text(batch, read_id0)
 
     return run_ordered_pool(items(), work, out, workers,
                             chunk_dir=chunk_dir, manifest=manifest)
