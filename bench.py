@@ -187,22 +187,28 @@ def main() -> int:
     # warmup: compile every device program at the PRODUCTION batch shape
     # (a smaller warm batch would leave the real shapes to compile inside
     # the timed region — the round-1 bench's mistake)
-    warm_n = MemOptions().batch_reads
+    threads_env = os.environ.get("TPUBWA_BENCH_THREADS", "3")
+    warm_n = int(os.environ.get("TPUBWA_BENCH_BATCH", "0")) \
+        or MemOptions().batch_reads
     warm_fq = os.path.join(_work_dir(), "warm.fq")
     with open(fq1) as f, open(warm_fq, "w") as w:
         for i, line in enumerate(f):
             if i >= 4 * warm_n:
                 break
             w.write(line)
-    threads = int(os.environ.get("TPUBWA_BENCH_THREADS", "3"))
+    threads = int(threads_env)
+    batch_n = os.environ.get("TPUBWA_BENCH_BATCH")
+    batch_n = int(batch_n) if batch_n else None
     t = time.monotonic()
-    align_fastq(ref_fa, warm_fq, None, _NullOut(), threads=threads)
+    align_fastq(ref_fa, warm_fq, None, _NullOut(), threads=threads,
+                batch_reads=batch_n)
     print(f"[bench] warmup (compile) {time.monotonic()-t:.1f}s",
           file=sys.stderr)
 
     sink = _NullOut()
     t0 = time.monotonic()
-    align_fastq(ref_fa, fq1, fq2, sink, threads=threads)
+    align_fastq(ref_fa, fq1, fq2, sink, threads=threads,
+                batch_reads=batch_n)
     dt = time.monotonic() - t0
 
     rps = n_reads / dt

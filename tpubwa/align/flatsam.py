@@ -67,16 +67,23 @@ def _pow2(n: int, lo: int = 64) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("q_pad", "t_win", "a", "b"))
+MM_K = 24   # per-lane mismatch pack capacity (150bp @ a few % error)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("q_pad", "t_win", "a", "b", "mm_k"))
 def _flat_windows(di, codes, rd, qb, lq, rb, rlen, rev, *,
-                  q_pad: int, t_win: int, a: int, b: int):
+                  q_pad: int, t_win: int, a: int, b: int,
+                  mm_k: int = MM_K):
     """Device half of the flat finalize: build the SAM/DP-oriented query
     and reference window buffers (genome-forward; revcomp'd rows for rev
-    hits), plus the exact-match score and mismatch count per lane.
+    hits), plus the exact-match score, mismatch count, and a COMPACTED
+    mismatch pack (positions + reference letters).
 
-    codes is the device-resident read batch (int32 [B, L], 4 = pad); all
-    other per-lane inputs are int32 [lanes].  Returns int8 window buffers
-    (device->host transfer is 1 byte/base) and int32 score/nm lanes."""
+    The window buffers stay device-resident (the GA wrapper gathers lanes
+    from them on device); only the compact per-lane vectors download —
+    the axon tunnel's device->host path is ~10 MB/s, so shipping the full
+    [lanes, q_pad+t_win] buffers would dominate the whole SAM phase."""
     import jax.numpy as jnp
 
     from tpubwa.ops.fm import ref_window_right
@@ -113,7 +120,38 @@ def _flat_windows(di, codes, rd, qb, lq, rb, rlen, rev, *,
     exact_score = jnp.sum(jnp.where(qmask, pair, 0), axis=1).astype(I32)
     mm = qmask & ((qD != tD[:, :q_pad]) | (qD >= 4))
     nm = jnp.sum(mm, axis=1).astype(I32)
-    return (qD.astype(jnp.int8), tD.astype(jnp.int8), exact_score, nm)
+    # compacted mismatch pack: first mm_k mismatch columns, ascending
+    key = jnp.where(mm, jq, q_pad + 1)
+    pos = jnp.sort(key, axis=1)[:, :mm_k]
+    let = jnp.take_along_axis(tD[:, :q_pad],
+                              jnp.minimum(pos, q_pad - 1), axis=1)
+    return (qD.astype(jnp.int8), tD.astype(jnp.int8), exact_score, nm,
+            pos.astype(jnp.uint8), let.astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins"))
+def _ga_rows(qD, tD, rows, qlen, tlen, w, mat, *, o_del: int, e_del: int,
+             o_ins: int, e_ins: int):
+    """Global-alignment over device-resident window buffers: gather the
+    requested lanes on device, run the batched DP + traceback, return
+    (score i32, steps i8) — steps download at 1 byte/op."""
+    import jax.numpy as jnp
+
+    from tpubwa.ops.global_align import global_align_cigar_batch
+
+    q = qD[rows].astype(jnp.int32)
+    t = tD[rows].astype(jnp.int32)
+    res = global_align_cigar_batch(q, qlen, t, tlen, mat, w, o_del=o_del,
+                                   e_del=e_del, o_ins=o_ins, e_ins=e_ins)
+    return res.score, res.steps.astype(jnp.int8)
+
+
+@jax.jit
+def _gather_rows(qD, tD, rows):
+    """Row-gather of the device window buffers (host fallback for gapped
+    cigars' NM/MD and for mismatch packs that overflowed MM_K)."""
+    return qD[rows], tD[rows]
 
 
 def se_text_batch(aligner, batch, read_id0: int, fields: dict,
@@ -224,17 +262,17 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
 
     if codes_dev is None:
         codes_dev = jnp.asarray(np.asarray(batch.codes, np.int32))
-    qDj, tDj, esj, nmj = _flat_windows(
+    qDj, tDj, esj, nmj, mposj, mletj = _flat_windows(
         aligner.di, codes_dev, jnp.asarray(padv(flat_rows)),
         jnp.asarray(padv(qb)), jnp.asarray(padv(lq)),
         jnp.asarray(padv(rb)), jnp.asarray(padv(rlen)),
         jnp.asarray(padv(rev, np.bool_)),
         q_pad=QPAD, t_win=TWIN, a=opt.a, b=opt.b)
-    qD = np.asarray(qDj)[:N]
-    tD = np.asarray(tDj)[:N]
+    # qDj/tDj stay on device; only compact vectors download (~10 MB/s d2h)
     exact_score = np.asarray(esj)[:N].astype(np.int64)
     nm_dev = np.asarray(nmj)[:N].astype(np.int64)
-    jq = np.arange(QPAD)[None, :]
+    mm_pos = np.asarray(mposj)[:N]
+    mm_let = np.asarray(mletj)[:N]
 
     # reg2aln_g's band-doubling retry loop, on shrinking subsets
     res_score = np.zeros(N, np.int64)
@@ -267,24 +305,19 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
             ww = np.minimum(ww, w_eff[didx])
             ww = np.maximum(ww, np.abs(rlr - lqr) + 3)
             M = _pow2(didx.size)
-            qbuf = np.zeros((M, QPAD), np.int32)
-            tbuf = np.zeros((M, TWIN), np.int32)
-            qbuf[: didx.size] = qD[rows]
-            tbuf[: didx.size] = tD[rows]
-            qlen = np.zeros(M, np.int32)
-            tlen = np.zeros(M, np.int32)
-            wv = np.zeros(M, np.int32)
-            qlen[: didx.size] = lqr
-            tlen[: didx.size] = rlr
-            wv[: didx.size] = ww
-            from tpubwa.ops.global_align import global_align_cigar_batch
-            put = aligner._put
-            res = global_align_cigar_batch(
-                put(qbuf), put(qlen), put(tbuf), put(tlen),
-                aligner.mat_dev, put(wv), o_del=opt.o_del, e_del=opt.e_del,
+
+            def padm(a, dtype=np.int32):
+                v = np.zeros(M, dtype)
+                v[: didx.size] = a
+                return v
+
+            sc_dev, steps_dev = _ga_rows(
+                qDj, tDj, jnp.asarray(padm(rows)), jnp.asarray(padm(lqr)),
+                jnp.asarray(padm(rlr)), jnp.asarray(padm(ww)),
+                aligner.mat_dev, o_del=opt.o_del, e_del=opt.e_del,
                 o_ins=opt.o_ins, e_ins=opt.e_ins)
-            sc = np.asarray(res.score)
-            steps = np.asarray(res.steps)
+            sc = np.asarray(sc_dev)
+            steps = np.asarray(steps_dev)
             sc_it[didx] = sc[: didx.size]
             for lane, r in enumerate(rows):
                 res_cigar[r] = steps_to_cigar(steps[lane])
@@ -296,34 +329,44 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
         cont = (~done) & (it < 3) & (sc_it < truesc[active] - a_)
         active = active[cont]
 
-    # NM/MD: columnar for pure-M cigars, per-read for gapped
+    # NM/MD: from the device mismatch pack for pure-M cigars; gapped
+    # cigars (and the rare >MM_K pack overflow) fetch their window rows
     pure_m = np.array([c is not None and len(c) == 1 and c[0][0] == 0
                        for c in res_cigar])
     nm = np.zeros(N, np.int64)
     md: list[str] = [""] * N
-    pm = np.flatnonzero(pure_m)
-    if pm.size:
-        qs = qD[pm]
-        ts = tD[pm][:, :QPAD]     # pure-M: lq == rlen <= QPAD
-        mm = ((qs != ts) | (qs >= 4)) & (jq < lq[pm][:, None])
-        nm[pm] = nm_dev[pm]       # device-computed mismatch counts
-        rows_mm, cols_mm = np.nonzero(mm)
-        cut = np.searchsorted(rows_mm, np.arange(pm.size + 1))
-        for i, r in enumerate(pm):
-            cols = cols_mm[cut[i]:cut[i + 1]]
-            if cols.size == 0:
-                md[r] = str(int(lq[r]))
-                continue
+    need_rows = np.flatnonzero(~pure_m | (nm_dev > MM_K))
+    qh = th = None
+    if need_rows.size:
+        M = _pow2(need_rows.size)
+        rpad = np.zeros(M, np.int32)
+        rpad[: need_rows.size] = need_rows
+        qhj, thj = _gather_rows(qDj, tDj, jnp.asarray(rpad))
+        qh = np.asarray(qhj)[: need_rows.size]
+        th = np.asarray(thj)[: need_rows.size]
+        rowmap = {int(r): i for i, r in enumerate(need_rows)}
+    for r in np.flatnonzero(pure_m):
+        nm[r] = nm_dev[r]
+        k = int(nm_dev[r])
+        if k == 0:
+            md[r] = str(int(lq[r]))
+        elif k <= MM_K:
             parts = []
             prev = 0
-            for c in cols:
+            for c, t in zip(mm_pos[r, :k], mm_let[r, :k]):
                 parts.append(str(int(c) - prev))
-                parts.append(MD_CHARS[int(tD[r, c])])
+                parts.append(MD_CHARS[int(t)])
                 prev = int(c) + 1
             parts.append(str(int(lq[r]) - prev))
             md[r] = "".join(parts)
+        else:                       # pack overflow: rebuild from the rows
+            i = rowmap[r]
+            _, md[r] = cigar_nm_md(qh[i, : lq[r]], th[i, : rlen[r]],
+                                   res_cigar[r])
     for r in np.flatnonzero(~pure_m):
-        n_, m_ = cigar_nm_md(qD[r, : lq[r]], tD[r, : rlen[r]], res_cigar[r])
+        i = rowmap[r]
+        n_, m_ = cigar_nm_md(qh[i, : lq[r]], th[i, : rlen[r]],
+                             res_cigar[r])
         nm[r] = n_
         md[r] = m_
 
