@@ -97,15 +97,28 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
     """Run the extension device program over the job list in pow2 waves;
     returns int32 [n_jobs, 14] results.  codes_dev/lens_dev are the device
     read batch (passed through, not stored — -t workers each carry their
-    own batch)."""
+    own batch).
+
+    All waves are DISPATCHED before any result downloads: the d2h tunnel
+    pays ~25 ms fixed latency per blocking transfer, so serializing
+    (dispatch, download, dispatch, ...) stalls both the device queue and
+    the host.  Downloads are also started async (copy_to_host_async) so
+    the per-wave round trips overlap."""
     out = np.empty((max(n_jobs, 1), 14), np.int32)
     core = aligner.ext_core
+    waves = []  # (j0, take, device [14, W])
     j0 = 0
     while j0 < n_jobs:
         take = min(n_jobs - j0, MAX_WAVE)
         W = MIN_WAVE
         while W < take:
             W <<= 1
+        if 1024 < W < MAX_WAVE:
+            # only {.., 1024, MAX_WAVE/2, MAX_WAVE} wave shapes exist:
+            # every pow2 width would compile (and miss the persistent
+            # cache for the Pallas kernel) on the first odd-sized tail
+            # batch — a multi-second stall mid-pipeline
+            W = MAX_WAVE // 2
         sl = slice(j0, j0 + take)
 
         def pad(a):
@@ -117,8 +130,15 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
                            pad(jobs["qbeg"]), pad(jobs["slen"]),
                            pad(jobs["rbeg"]), pad(jobs["rmax0"]),
                            pad(jobs["rmax1"]), pad(jobs["h0"]), core)
-        out[j0:j0 + take] = np.asarray(res)[:, :take].T
+        waves.append((j0, take, res))
         j0 += take
+    for _, _, res in waves:
+        try:
+            res.copy_to_host_async()
+        except Exception:  # backend without async host copies
+            break
+    for j0, take, res in waves:
+        out[j0:j0 + take] = np.asarray(res)[:, :take].T
     return np.ascontiguousarray(out)
 
 

@@ -30,7 +30,7 @@ import numpy as np
 
 from tpubwa.align import finalize
 from tpubwa.config import MemOptions
-from tpubwa.ops.global_align import cigar_nm_md, steps_to_cigar
+from tpubwa.ops.global_align import cigar_nm_md
 from tpubwa.utils.rounds import drive_rounds
 
 QPAD = 192     # query window pad (== GA bucket Q)
@@ -61,9 +61,13 @@ def _infer_bw_vec(l1, l2, score, a: int, q: int, r: int) -> np.ndarray:
 
 
 def _pow2(n: int, lo: int = 64) -> int:
+    """Lane-bucket size: 4^k granularity (64, 256, 1024, 4096, ...).
+    Coarser-than-pow2 buckets keep the set of compiled shapes tiny — a
+    tail batch whose subset sizes land in a never-seen pow2 bucket would
+    stall mid-pipeline on a fresh compile."""
     b = lo
     while b < n:
-        b <<= 1
+        b <<= 2
     return b
 
 
@@ -125,26 +129,65 @@ def _flat_windows(di, codes, rd, qb, lq, rb, rlen, rev, *,
     pos = jnp.sort(key, axis=1)[:, :mm_k]
     let = jnp.take_along_axis(tD[:, :q_pad],
                               jnp.minimum(pos, q_pad - 1), axis=1)
-    return (qD.astype(jnp.int8), tD.astype(jnp.int8), exact_score, nm,
-            pos.astype(jnp.uint8), let.astype(jnp.uint8))
+    # ONE packed int16 download (the tunnel costs ~25 ms per blocking d2h
+    # regardless of size): [lanes, 2+mm_k] = score, nm, (letter<<8 | pos)
+    packed = jnp.concatenate(
+        [exact_score.astype(jnp.int16)[:, None],
+         nm.astype(jnp.int16)[:, None],
+         ((let.astype(jnp.int16) << 8) | pos.astype(jnp.int16))], axis=1)
+    return qD.astype(jnp.int8), tD.astype(jnp.int8), packed
+
+
+GA_K = 24   # per-lane cigar-segment pack capacity
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
-                                             "e_ins"))
+                                             "e_ins", "ga_k"))
 def _ga_rows(qD, tD, rows, qlen, tlen, w, mat, *, o_del: int, e_del: int,
-             o_ins: int, e_ins: int):
+             o_ins: int, e_ins: int, ga_k: int = GA_K):
     """Global-alignment over device-resident window buffers: gather the
-    requested lanes on device, run the batched DP + traceback, return
-    (score i32, steps i8) — steps download at 1 byte/op."""
+    requested lanes on device, run the batched DP + traceback, and
+    run-length-encode the traceback ON DEVICE so only a compact
+    [M, 2+ga_k] int16 pack downloads (col0 score, col1 nseg, then
+    (len<<2 | op) per cigar segment in CIGAR order).  Lanes with
+    nseg > ga_k are re-rendered by the caller via the generator path."""
     import jax.numpy as jnp
 
     from tpubwa.ops.global_align import global_align_cigar_batch
 
+    I16 = jnp.int16
+    I32 = jnp.int32
     q = qD[rows].astype(jnp.int32)
     t = tD[rows].astype(jnp.int32)
     res = global_align_cigar_batch(q, qlen, t, tlen, mat, w, o_del=o_del,
                                    e_del=e_del, o_ins=o_ins, e_ins=e_ins)
-    return res.score, res.steps.astype(jnp.int8)
+    s = res.steps.astype(I32)                       # [M, S] ops, 3 = end
+    M, S = s.shape
+    valid = s != 3
+    prev = jnp.concatenate(
+        [jnp.full((M, 1), -1, I32), s[:, :-1]], axis=1)
+    newseg = valid & (s != prev)
+    segid = jnp.where(valid, jnp.cumsum(newseg.astype(I32), axis=1), 0)
+    nseg = jnp.sum(newseg.astype(I32), axis=1)      # [M]
+    rowsM = jnp.arange(M)[:, None]
+    dst = jnp.minimum(segid, ga_k + 1)              # slot 0 unused
+    lens = jnp.zeros((M, ga_k + 2), I32).at[rowsM, dst].add(
+        valid.astype(I32))
+    ops = jnp.zeros((M, ga_k + 2), I32).at[rowsM, dst].max(
+        jnp.where(valid, s, 0))
+    # steps come out in traceback (reverse) order; cigar segment c is
+    # steps-segment (nseg - c)
+    c = jnp.arange(ga_k, dtype=I32)[None, :]
+    src = jnp.clip(nseg[:, None] - c, 0, ga_k + 1)
+    in_rng = (c < nseg[:, None]) & (nseg[:, None] <= ga_k)
+    seg = jnp.where(
+        in_rng,
+        (jnp.take_along_axis(lens, src, axis=1) << 2)
+        | jnp.take_along_axis(ops, src, axis=1), 0)
+    packed = jnp.concatenate(
+        [res.score.astype(I16)[:, None], nseg.astype(I16)[:, None],
+         seg.astype(I16)], axis=1)
+    return packed
 
 
 @jax.jit
@@ -262,21 +305,26 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
 
     if codes_dev is None:
         codes_dev = jnp.asarray(np.asarray(batch.codes, np.int32))
-    qDj, tDj, esj, nmj, mposj, mletj = _flat_windows(
+    qDj, tDj, pkj = _flat_windows(
         aligner.di, codes_dev, jnp.asarray(padv(flat_rows)),
         jnp.asarray(padv(qb)), jnp.asarray(padv(lq)),
         jnp.asarray(padv(rb)), jnp.asarray(padv(rlen)),
         jnp.asarray(padv(rev, np.bool_)),
         q_pad=QPAD, t_win=TWIN, a=opt.a, b=opt.b)
-    # qDj/tDj stay on device; only compact vectors download (~10 MB/s d2h)
-    exact_score = np.asarray(esj)[:N].astype(np.int64)
-    nm_dev = np.asarray(nmj)[:N].astype(np.int64)
-    mm_pos = np.asarray(mposj)[:N]
-    mm_let = np.asarray(mletj)[:N]
+    # qDj/tDj stay on device; ONE packed compact vector downloads (the
+    # d2h tunnel costs ~25 ms fixed per blocking transfer)
+    pk = np.asarray(pkj)[:N].astype(np.int64)
+    exact_score = pk[:, 0]
+    nm_dev = pk[:, 1]
+    mm_pos = pk[:, 2:] & 0xFF
+    mm_let = (pk[:, 2:] >> 8) & 0x7
 
-    # reg2aln_g's band-doubling retry loop, on shrinking subsets
-    res_score = np.zeros(N, np.int64)
-    res_cigar: list = [None] * N
+    # reg2aln_g's band-doubling retry loop, on shrinking subsets.  Cigars
+    # stay COLUMNAR: segs [N, GA_K] of (len<<2 | op) in cigar order +
+    # nseg [N] (-1 = pack overflow -> generator re-render).
+    segs = np.zeros((N, GA_K), np.int32)
+    segs[:, 0] = (lq << 2).astype(np.int32)
+    nseg = np.ones(N, np.int32)
     last_sc = np.full(N, -(1 << 30), np.int64)
     active = np.arange(N)
     maxw = opt.w * 4
@@ -289,8 +337,9 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
         if eidx.size:
             rows = active[eidx]
             sc_it[eidx] = exact_score[rows]
-            for k, r in zip(eidx, rows):
-                res_cigar[r] = [(0, int(lq[r]))]
+            segs[rows] = 0
+            segs[rows, 0] = (lq[rows] << 2).astype(np.int32)
+            nseg[rows] = 1
         didx = np.flatnonzero(~exact)
         if didx.size:
             rows = active[didx]
@@ -311,17 +360,19 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
                 v[: didx.size] = a
                 return v
 
-            sc_dev, steps_dev = _ga_rows(
+            pk_dev = _ga_rows(
                 qDj, tDj, jnp.asarray(padm(rows)), jnp.asarray(padm(lqr)),
                 jnp.asarray(padm(rlr)), jnp.asarray(padm(ww)),
                 aligner.mat_dev, o_del=opt.o_del, e_del=opt.e_del,
                 o_ins=opt.o_ins, e_ins=opt.e_ins)
-            sc = np.asarray(sc_dev)
-            steps = np.asarray(steps_dev)
-            sc_it[didx] = sc[: didx.size]
-            for lane, r in enumerate(rows):
-                res_cigar[r] = steps_to_cigar(steps[lane])
-        res_score[active] = sc_it
+            gp = np.asarray(pk_dev)[: didx.size].astype(np.int64)
+            sc_it[didx] = gp[:, 0]
+            gn = gp[:, 1].astype(np.int32)
+            fit = gn <= GA_K
+            rf = rows[fit]
+            segs[rf] = gp[fit, 2:2 + GA_K].astype(np.int32)
+            nseg[rf] = gn[fit]
+            nseg[rows[~fit]] = -1
         done = (sc_it == last_sc[active]) | (w_eff == maxw)
         last_sc[active] = sc_it
         w2[active] = w_eff << 1
@@ -329,61 +380,112 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
         cont = (~done) & (it < 3) & (sc_it < truesc[active] - a_)
         active = active[cont]
 
-    # NM/MD: from the device mismatch pack for pure-M cigars; gapped
-    # cigars (and the rare >MM_K pack overflow) fetch their window rows
-    pure_m = np.array([c is not None and len(c) == 1 and c[0][0] == 0
-                       for c in res_cigar])
-    nm = np.zeros(N, np.int64)
-    md: list[str] = [""] * N
-    need_rows = np.flatnonzero(~pure_m | (nm_dev > MM_K))
-    qh = th = None
-    if need_rows.size:
-        M = _pow2(need_rows.size)
-        rpad = np.zeros(M, np.int32)
-        rpad[: need_rows.size] = need_rows
-        qhj, thj = _gather_rows(qDj, tDj, jnp.asarray(rpad))
-        qh = np.asarray(qhj)[: need_rows.size]
-        th = np.asarray(thj)[: need_rows.size]
-        rowmap = {int(r): i for i, r in enumerate(need_rows)}
-    for r in np.flatnonzero(pure_m):
-        nm[r] = nm_dev[r]
-        k = int(nm_dev[r])
-        if k == 0:
-            md[r] = str(int(lq[r]))
-        elif k <= MM_K:
-            parts = []
-            prev = 0
-            for c, t in zip(mm_pos[r, :k], mm_let[r, :k]):
-                parts.append(str(int(c) - prev))
-                parts.append(MD_CHARS[int(t)])
-                prev = int(c) + 1
-            parts.append(str(int(lq[r]) - prev))
-            md[r] = "".join(parts)
-        else:                       # pack overflow: rebuild from the rows
-            i = rowmap[r]
-            _, md[r] = cigar_nm_md(qh[i, : lq[r]], th[i, : rlen[r]],
-                                   res_cigar[r])
-    for r in np.flatnonzero(~pure_m):
-        i = rowmap[r]
-        n_, m_ = cigar_nm_md(qh[i, : lq[r]], th[i, : rlen[r]],
-                             res_cigar[r])
-        nm[r] = n_
-        md[r] = m_
+    # cigar-pack overflow lanes (nseg < 0): re-render via the per-read
+    # generator path (identical records by construction) and drop them
+    # from the flat set
+    ovf_l = np.flatnonzero(nseg < 0)
+    lane_ids = np.arange(N)
+    if ovf_l.size:
+        gens = [
+            finalize.se_records_g(
+                opt, idx, batch.names[b], batch.seqs[b], batch.quals[b],
+                batch.codes[b, : batch.lens[b]],
+                _alnregs_for(fields, bounds, int(b)), read_id0 + int(b))
+            for b in flat_rows[ovf_l]
+        ]
+        for b, recs in zip(flat_rows[ovf_l],
+                           drive_rounds(gens, aligner.ga_exec)):
+            out[b] = "".join(r.line() + "\n" for r in recs)
+        keep = nseg >= 0
+        (flat_rows, lq, rlen, rev, pos0, rid, mapq, score, L, qb, qe,
+         nm_dev, mm_pos, mm_let, segs, nseg, lane_ids) = (
+            a[keep] for a in (flat_rows, lq, rlen, rev, pos0, rid, mapq,
+                              score, L, qb, qe, nm_dev, mm_pos, mm_let,
+                              segs, nseg, lane_ids))
+        N = flat_rows.size
+        if N == 0:
+            return "".join(out)
 
-    # position fixups + clips + cigar strings (aln2sam field rules)
-    clip5 = np.where(rev, L - qe, qb)
-    clip3 = np.where(rev, qb, L - qe)
+    # NM/MD classification uses the PRE-squeeze cigar (the generator path
+    # computes NM/MD before squeezing edge deletions)
+    pure_m = (nseg == 1) & ((segs[:, 0] & 3) == 0)
+    need = ~pure_m | (nm_dev > MM_K)
+    win_row = np.full(N, -1, np.int32)
+    qh = th = None
+    nr = np.flatnonzero(need)
+    if nr.size:
+        # floor the bucket at lanes/4: the row gather is cheap per lane
+        # and a stable shape avoids tail-batch compile stalls
+        M = _pow2(nr.size, lo=max(64, lanes // 4))
+        rpad = np.zeros(M, np.int32)
+        rpad[: nr.size] = lane_ids[nr]
+        qhj, thj = _gather_rows(qDj, tDj, jnp.asarray(rpad))
+        qh = np.asarray(qhj)[: nr.size]
+        th = np.asarray(thj)[: nr.size]
+        win_row[nr] = np.arange(nr.size, dtype=np.int32)
+    nm_in = np.where(pure_m & (nm_dev <= MM_K), nm_dev,
+                     -1).astype(np.int32)
+
+    # edge-deletion squeeze + pos/rid re-resolution, vectorized; the
+    # squeezed deletion lengths still count for NM/MD (generator parity),
+    # so they're carried separately (lead_d/trail_d)
+    pos = pos0.copy()
+    lead_d = np.zeros(N, np.int32)
+    trail_d = np.zeros(N, np.int32)
+    lead = (nseg > 0) & ((segs[:, 0] & 3) == 2)
+    if lead.any():
+        lr = np.flatnonzero(lead)
+        lead_d[lr] = segs[lr, 0] >> 2
+        pos[lr] += segs[lr, 0] >> 2
+        segs[lr, :-1] = segs[lr, 1:]
+        segs[lr, -1] = 0
+        nseg[lr] -= 1
+        # the squeeze can move pos past a contig boundary: re-resolve rid
+        # from the adjusted position (finalize.reg2aln_g resolves rid
+        # after the squeeze; ADVICE r3)
+        rid[lr] = np.searchsorted(offs, pos[lr], side="right") - 1
+    last_i = np.maximum(nseg - 1, 0)
+    tl = (nseg > 0) & ((segs[np.arange(N), last_i] & 3) == 2)
+    if tl.any():
+        tr = np.flatnonzero(tl)
+        trail_d[tr] = segs[tr, last_i[tr]] >> 2
+        nseg[tr] -= 1
+    p1 = pos - offs[rid] + 1
+
+    clip5 = np.where(rev, L - qe, qb).astype(np.int32)
+    clip3 = np.where(rev, qb, L - qe).astype(np.int32)
+
+    text = _emit_native(
+        aligner, batch, out, B, flat_rows, rev, rid, p1, mapq, score,
+        clip5, clip3, segs, nseg, lead_d, trail_d, nm_in, mm_pos, mm_let,
+        lq, rlen, win_row, qh, th)
+    if text is not None:
+        return text
+
+    # ------------------------- python fallback (no native library) ----
     names, seqs, quals = batch.names, batch.seqs, batch.quals
     cnames = [c.name for c in idx.contigs]
     for i in range(N):
         b = int(flat_rows[i])
-        cigar = res_cigar[i]
-        p = int(pos0[i])
-        if cigar and cigar[0][0] == 2:      # squeeze edge deletions
-            p += cigar[0][1]
-            cigar = cigar[1:]
-        if cigar and cigar[-1][0] == 2:
-            cigar = cigar[:-1]
+        ns_i = int(nseg[i])
+        cigar = [(int(v) & 3, int(v) >> 2) for v in segs[i, :ns_i]]
+        # NM/MD over the pre-squeeze cigar
+        if nm_in[i] >= 0:
+            nm_i = int(nm_in[i])
+            parts = []
+            prev = 0
+            for c, t in zip(mm_pos[i, :nm_i], mm_let[i, :nm_i]):
+                parts.append(str(int(c) - prev))
+                parts.append(MD_CHARS[int(t)])
+                prev = int(c) + 1
+            parts.append(str(int(lq[i]) - prev))
+            md_i = "".join(parts)
+        else:
+            w_i = int(win_row[i])
+            full = ([(2, int(lead_d[i]))] if lead_d[i] else []) + cigar \
+                + ([(2, int(trail_d[i]))] if trail_d[i] else [])
+            nm_i, md_i = cigar_nm_md(qh[w_i, : lq[i]], th[w_i, : rlen[i]],
+                                     full)
         c5, c3 = int(clip5[i]), int(clip3[i])
         cs = "".join(f"{ln}{CIGAR_OPS[op]}" for op, ln in cigar)
         if c5:
@@ -391,7 +493,6 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
         if c3:
             cs = cs + f"{c3}S"
         r = int(rid[i])
-        p1 = p - int(offs[r]) + 1
         if rev[i]:
             seq = seqs[b].translate(finalize.REVCOMP_TRANS)[::-1]
             qual = quals[b][::-1] if quals[b] else "*"
@@ -400,11 +501,104 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
             seq = seqs[b]
             qual = quals[b] or "*"
             flag = 0
-        out[b] = (f"{names[b]}\t{flag}\t{cnames[r]}\t{p1}\t{int(mapq[i])}\t"
-                  f"{cs}\t*\t0\t0\t{seq}\t{qual}\t"
-                  f"NM:i:{int(nm[i])}\tMD:Z:{md[i]}\t"
+        out[b] = (f"{names[b]}\t{flag}\t{cnames[r]}\t{int(p1[i])}\t"
+                  f"{int(mapq[i])}\t{cs}\t*\t0\t0\t{seq}\t{qual}\t"
+                  f"NM:i:{int(nm_i)}\tMD:Z:{md_i}\t"
                   f"AS:i:{int(score[i])}\tXS:i:0\n")
     return "".join(out)
+
+
+def _concat_strs(strs):
+    """Concatenate strings into (bytes, int64 offsets[len+1])."""
+    enc = [s.encode() for s in strs]
+    off = np.zeros(len(enc) + 1, np.int64)
+    if enc:
+        off[1:] = np.cumsum([len(e) for e in enc])
+    return b"".join(enc), off
+
+
+def _emit_native(aligner, batch, out, B, flat_rows, rev, rid, p1, mapq,
+                 score, clip5, clip3, segs, nseg, lead_d, trail_d, nm_in,
+                 mm_pos, mm_let, lq, rlen, win_row, qh, th) -> str | None:
+    """One native call assembles every flat record's line (NM/MD, cigar
+    string, revcomp, field formatting) and splices the pre-rendered
+    non-flat rows in read order (native/samemit.cpp)."""
+    import ctypes
+
+    from tpubwa.native import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "sam_emit_se"):
+        return None
+    N = flat_rows.size
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+
+    def bptr(buf: bytes):
+        return c.cast(c.c_char_p(buf), u8p)
+
+    def aptr(arr, dtype, pt):
+        a = np.ascontiguousarray(arr, dtype=dtype)
+        return a, a.ctypes.data_as(pt)
+
+    i32p = c.POINTER(c.c_int32)
+    i64p = c.POINTER(c.c_int64)
+    i8p = c.POINTER(c.c_int8)
+
+    name_buf, name_off = _concat_strs(batch.names[:B])
+    seq_buf, seq_off = _concat_strs(batch.seqs[:B])
+    qual_buf, qual_off = _concat_strs([q or "" for q in batch.quals[:B]])
+    other_buf, other_off = _concat_strs([out[b] or "" for b in range(B)])
+    cname_buf, cname_off = _concat_strs(
+        [ct.name for ct in aligner.idx.contigs])
+
+    holds = []  # keep converted arrays alive through the call
+
+    def A(arr, dtype, pt):
+        a, p = aptr(arr, dtype, pt)
+        holds.append(a)
+        return p
+
+    if qh is None:
+        qh = np.zeros((1, QPAD), np.int8)
+        th = np.zeros((1, TWIN), np.int8)
+    # fold the squeezed edge deletions back in for the NM/MD walk: the
+    # native walker consumes ONE seg array, so lanes with lead/trail
+    # deletions are handed the pre-squeeze pack via lead_d/trail_d
+    cap = (len(other_buf) + len(name_buf) + 2 * len(seq_buf)
+           + len(qual_buf) + N * 144 + 4096)
+    outb = np.empty(cap, np.uint8)
+    args = [
+        c.c_int64(B),
+        bptr(other_buf), A(other_off, np.int64, i64p),
+        bptr(name_buf), A(name_off, np.int64, i64p),
+        bptr(seq_buf), A(seq_off, np.int64, i64p),
+        bptr(qual_buf), A(qual_off, np.int64, i64p),
+        bptr(cname_buf), A(cname_off, np.int64, i64p),
+        c.c_int64(N),
+        A(flat_rows, np.int32, i32p), A(rev, np.uint8, u8p),
+        A(rid, np.int32, i32p), A(p1, np.int64, i64p),
+        A(mapq, np.int32, i32p), A(score, np.int32, i32p),
+        A(clip5, np.int32, i32p), A(clip3, np.int32, i32p),
+        A(nseg, np.int32, i32p), A(segs, np.int32, i32p),
+        c.c_int64(GA_K),
+        A(lead_d, np.int32, i32p), A(trail_d, np.int32, i32p),
+        A(nm_in, np.int32, i32p),
+        A(mm_pos, np.uint8, u8p), A(mm_let, np.uint8, u8p),
+        c.c_int64(MM_K),
+        A(lq, np.int32, i32p), A(rlen, np.int32, i32p),
+        A(win_row, np.int32, i32p),
+        A(qh, np.int8, i8p), A(th, np.int8, i8p),
+        c.c_int64(QPAD), c.c_int64(TWIN),
+        outb.ctypes.data_as(u8p), c.c_int64(cap),
+    ]
+    ret = lib.sam_emit_se(*args)
+    if ret > cap:
+        outb = np.empty(ret, np.uint8)
+        args[-2] = outb.ctypes.data_as(u8p)
+        args[-1] = c.c_int64(ret)
+        ret = lib.sam_emit_se(*args)
+    return outb[:ret].tobytes().decode()
 
 
 def _alnregs_for(fields: dict, bounds: np.ndarray, b: int):

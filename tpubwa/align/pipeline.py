@@ -124,6 +124,20 @@ class Aligner:
 
         opt = self.opt
         ns = self._n_shard
+        # pad the batch up to a pow2 bucket (capped at batch_reads): a
+        # short tail batch would otherwise recompile every seeding program
+        # at its odd shape (pad reads have lens=0 -> their chain lanes are
+        # DONE immediately, near-zero device cost)
+        B0 = len(lens)
+        B_pad = 64
+        while B_pad < B0:
+            B_pad <<= 1
+        B_pad = min(max(B_pad, B0), max(opt.batch_reads, B0))
+        if B0 < B_pad:
+            pad = B_pad - B0
+            codes = np.concatenate(
+                [codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
         if ns > 1 and len(lens) % ns:  # pad batch to the shard count
             pad = ns - len(lens) % ns
             codes = np.concatenate(
@@ -163,8 +177,12 @@ class Aligner:
                 print(f"[tpu-bwa] warning: {n_ovf} read(s) exceeded "
                       "SMEM/seed buffer caps; their seed lists were "
                       "truncated", file=sys.stderr)
-            # round the prefix length up to bound the number of slice shapes
-            n_pad = min(-(-max(n, 1) // 4096) * 4096, cs.packed.shape[0])
+            # round the prefix length up to a pow2 to bound the number of
+            # distinct slice programs (each distinct length compiles)
+            n_pad = 4096
+            while n_pad < n:
+                n_pad <<= 1
+            n_pad = min(n_pad, cs.packed.shape[0])
             rows = np.asarray(cs.packed[:n_pad])[:n]
         return rows, l_rep
 

@@ -95,3 +95,21 @@ def _declare(lib) -> None:
     ]
     lib.ext_free.restype = None
     lib.ext_free.argtypes = [c.c_void_p]
+
+    i8p = c.POINTER(c.c_int8)
+    lib.sam_emit_se.restype = c.c_int64
+    lib.sam_emit_se.argtypes = [
+        c.c_int64,                      # B
+        u8p, i64p,                      # other, other_off
+        u8p, i64p, u8p, i64p, u8p, i64p,  # name/seq/qual bufs+offs
+        u8p, i64p,                      # cname buf+off
+        c.c_int64,                      # N lanes
+        i32p, u8p, i32p, i64p, i32p, i32p,  # b, rev, rid, pos1, mapq, score
+        i32p, i32p,                     # clip5, clip3
+        i32p, i32p, c.c_int64,          # cig_ns, cig_pack, ga_k
+        i32p, i32p,                     # lead_d, trail_d
+        i32p, u8p, u8p, c.c_int64,      # nm_in, mm_pos, mm_let, mm_k
+        i32p, i32p,                     # lq, rlen
+        i32p, i8p, i8p, c.c_int64, c.c_int64,  # win_row, qwin, twin, dims
+        u8p, c.c_int64,                 # out, out_cap
+    ]

@@ -90,4 +90,10 @@ def extend_jobs(di: DeviceIndex, codes: jax.Array, lens: jax.Array,
         mat, w0v, jnp.maximum(h0, 1), pen5, pen3,
         o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
         zdrop=zdrop, mat_max=mat_max, core=core)
-    return jnp.stack(list(out.left) + list(out.right) + [out.aw0, out.aw1])
+    res = jnp.stack(list(out.left) + list(out.right) + [out.aw0, out.aw1])
+    # every field is bounded by +-(mat_max * (L + window)) (scores) or the
+    # window sizes (positions/offsets); when that bound fits int16, ship
+    # half the bytes over the d2h tunnel (host casts back to int32)
+    if mat_max * (L + q_pad + t_pad) < 32000:
+        res = res.astype(jnp.int16)
+    return res
