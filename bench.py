@@ -184,12 +184,14 @@ def main() -> int:
 
     _enable_compile_cache()
 
-    # warmup: compile every device program at the PRODUCTION batch shape
-    # (a smaller warm batch would leave the real shapes to compile inside
-    # the timed region — the round-1 bench's mistake)
-    threads_env = os.environ.get("TPUBWA_BENCH_THREADS", "3")
-    warm_n = int(os.environ.get("TPUBWA_BENCH_BATCH", "0")) \
+    # warmup: compile every device program at the PRODUCTION batch shapes —
+    # one full batch AND one tail-sized batch (the real run ends with
+    # n_reads % batch_reads; its bucket shapes would otherwise compile
+    # inside the timed region)
+    threads_env = os.environ.get("TPUBWA_BENCH_THREADS", "2")
+    batch_sz = int(os.environ.get("TPUBWA_BENCH_BATCH", "0")) \
         or MemOptions().batch_reads
+    warm_n = batch_sz + (n_reads % batch_sz or batch_sz)
     warm_fq = os.path.join(_work_dir(), "warm.fq")
     with open(fq1) as f, open(warm_fq, "w") as w:
         for i, line in enumerate(f):

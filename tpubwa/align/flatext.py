@@ -93,7 +93,7 @@ def prepare_jobs(opt: MemOptions, l_pac: int, contig_offsets: np.ndarray,
 
 
 def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
-              n_jobs: int) -> np.ndarray:
+              n_jobs: int, lens_host=None) -> np.ndarray:
     """Run the extension device program over the job list in pow2 waves;
     returns int32 [n_jobs, 14] results.  codes_dev/lens_dev are the device
     read batch (passed through, not stored — -t workers each carry their
@@ -103,7 +103,35 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
     pays ~25 ms fixed latency per blocking transfer, so serializing
     (dispatch, download, dispatch, ...) stalls both the device queue and
     the host.  Downloads are also started async (copy_to_host_async) so
-    the per-wave round trips overlap."""
+    the per-wave round trips overlap.
+
+    Jobs are processed in EFFECTIVE-ROW order (each DP lane dies once its
+    band passes the query end, ~min(tlen, qlen+w) target rows): the Pallas
+    kernel's early exit is per 256-lane tile, so homogeneous tiles finish
+    at their own depth instead of every tile running to the global max.
+    Results are returned in the original job order."""
+    from tpubwa.ops.extend_flat import Q_PAD, T_PAD
+
+    order = None
+    if n_jobs > 512:
+        w0 = aligner.opt.w
+        qb = jobs["qbeg"][:n_jobs].astype(np.int64)
+        sl = jobs["slen"][:n_jobs].astype(np.int64)
+        d_l = np.minimum(jobs["rbeg"][:n_jobs]
+                         - jobs["rmax0"][:n_jobs], T_PAD)
+        d_r = np.minimum(jobs["rmax1"][:n_jobs]
+                         - jobs["rbeg"][:n_jobs] - sl, T_PAD)
+        q_l = np.minimum(qb, Q_PAD)
+        if lens_host is not None:
+            q_r = np.minimum(np.asarray(lens_host)[jobs["read"][:n_jobs]]
+                             - qb - sl, Q_PAD)
+        else:
+            q_r = Q_PAD
+        rows_l = np.minimum(d_l, q_l + w0 + 1)
+        rows_r = np.minimum(d_r, q_r + w0 + 1)
+        key = np.maximum(rows_l, rows_r)
+        order = np.argsort(key, kind="stable").astype(np.int64)
+        jobs = {k: v[:n_jobs][order] for k, v in jobs.items()}
     out = np.empty((max(n_jobs, 1), 14), np.int32)
     core = aligner.ext_core
     waves = []  # (j0, take, device [14, W])
@@ -139,6 +167,10 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
             break
     for j0, take, res in waves:
         out[j0:j0 + take] = np.asarray(res)[:, :take].T
+    if order is not None:
+        inv = np.empty_like(order)
+        inv[order] = np.arange(n_jobs, dtype=np.int64)
+        out = out[inv]
     return np.ascontiguousarray(out)
 
 

@@ -263,7 +263,7 @@ class Aligner:
         handle, jobs, n_jobs = prep
         with self.timers.phase("BSW"):
             results = flatext.run_waves(self, codes_dev, lens_dev, jobs,
-                                        n_jobs)
+                                        n_jobs, lens_host=batch.lens)
             fields, fbounds = flatext.finalize_fields(handle, results, B,
                                                       n_jobs)
         return (fields, fbounds), None

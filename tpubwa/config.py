@@ -56,7 +56,7 @@ class MemOptions:
     # pipeline / device batching (TPU-specific; no reference analog except
     # kthread batch sizes — SURVEY.md §2 kt_for ARM_BATCH_SIZE lesson: small
     # balanced batches)
-    batch_reads: int = 4096        # reads per device batch
+    batch_reads: int = 8192        # reads per device batch
     mesh_shape: tuple = ()         # device mesh for data-parallel sharding
     #                                (empty = single device)
     max_read_len: int = 160        # static padded read length on device
@@ -77,9 +77,9 @@ class MemOptions:
             # host-only development (CPU, possibly a virtual device mesh)
             "cpu-dev": dict(batch_reads=256),
             # one v5e chip
-            "v5e-1": dict(batch_reads=4096),
+            "v5e-1": dict(batch_reads=8192),
             # single-host 4-chip slice: reads data-parallel over ICI
-            "v5e-4": dict(batch_reads=16384, mesh_shape=(4,)),
+            "v5e-4": dict(batch_reads=32768, mesh_shape=(4,)),
             # 16-chip pod slice
             "v5e-16": dict(batch_reads=65536, mesh_shape=(16,)),
         }

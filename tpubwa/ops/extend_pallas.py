@@ -93,7 +93,7 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
          alive_i) = st
         alive = alive_i > 0
         H_tail = H_ref[:, :]
-        E = E_ref[:, :]
+        E_prev = E_ref[:, :]
         M_prev = M_ref[:, :]
         act = alive & (i < tlen)
 
@@ -110,11 +110,10 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         M = jnp.where(hd > 0, hd + s_row, 0)
         M = jnp.where(in_band, M, 0)
 
-        E_old = E
         gate = (i > 0).astype(I32)     # scalar gate (scalar-pred where on
         #                                2-D values trips Mosaic relayout)
-        E = (jnp.maximum(jnp.maximum(M_prev - oe_del, E - e_del), 0) * gate
-             + E * (1 - gate))
+        E = (jnp.maximum(jnp.maximum(M_prev - oe_del, E_prev - e_del), 0)
+             * gate + E_prev * (1 - gate))
 
         g = jnp.maximum(M - oe_ins, 0) + jb * e_ins
         F = jnp.maximum(_cummax_excl(g) - (jb - 1) * e_ins, 0)
@@ -161,12 +160,13 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         alive_n = alive & ~zero_break & ~z_break & ((i + 1) < tlen)
 
         keep = act & ~zero_break & ~z_break
-        # broadcast bool selects trip Mosaic relayout: blend arithmetically
-        k = keep.astype(I32)[:, None]
-        nk = 1 - k
-        H_ref[:, :] = H * k + H_tail * nk
-        E_ref[:, :] = E * k + E_old * nk
-        M_ref[:, :] = M * k + M_prev * nk
+        # dead lanes' DP state is never read again (their trackers are
+        # frozen behind `alive`), so the row state writes back
+        # UNCONDITIONALLY — the per-lane keep-blend cost ~9 extra
+        # full-width VPU ops per row
+        H_ref[:, :] = H
+        E_ref[:, :] = E
+        M_ref[:, :] = M
         return (i + 1,
                 jnp.where(keep, boundary, Hb),
                 best_n, best_i_n, best_j_n, max_ie, gscore, max_off_n,
