@@ -36,7 +36,38 @@ def _work_dir() -> str:
     return d
 
 
-def _ensure_fixture(ref_mb: float, n_reads: int, pe: bool):
+def _repeat_genome(rng, ref_len: int) -> np.ndarray:
+    """chr21-style repeat-structured synthetic genome.
+
+    A uniform-random reference has no repeat structure, which silently
+    skips whole pipeline phases (max_occ filtering, re-seeding, MAPQ-vs-
+    sub logic) — the reference project's recorded trap
+    (/root/reference/SVE_OPTIMIZATION_FINDINGS.md:63-84).  Structure:
+    8 segmental copies of one base segment at ~2% divergence (large
+    duplications -> multi-hit seeds), with a ~300 bp high-copy element
+    (Alu-like, ~10% divergence) inserted every ~3 kb (~15k copies ->
+    max_occ saturation)."""
+    n_seg = 8
+    alu_len, alu_every = 300, 3000
+    seg_len = ref_len // n_seg
+    base = rng.integers(0, 4, seg_len).astype(np.uint8)
+    alu = rng.integers(0, 4, alu_len).astype(np.uint8)
+    segs = []
+    for _ in range(n_seg):
+        seg = base.copy()
+        mut = rng.random(seg_len) < 0.02
+        seg[mut] = (seg[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        for p in range(alu_every, seg_len - alu_len, alu_every):
+            a = alu.copy()
+            m = rng.random(alu_len) < 0.10
+            a[m] = (a[m] + rng.integers(1, 4, int(m.sum()))) % 4
+            seg[p : p + alu_len] = a
+        segs.append(seg)
+    return np.concatenate(segs)[:ref_len]
+
+
+def _ensure_fixture(ref_mb: float, n_reads: int, pe: bool,
+                    style: str = "random"):
     """Build (once, cached on disk) the synthetic reference + index + reads."""
     from tpubwa.index.fmindex import FMIndex
     from tpubwa.utils import sim
@@ -44,10 +75,14 @@ def _ensure_fixture(ref_mb: float, n_reads: int, pe: bool):
 
     d = _work_dir()
     ref_len = int(ref_mb * 1e6)
-    ref_fa = os.path.join(d, f"ref_{ref_len}.fa")
+    tag0 = "" if style == "random" else f"_{style}"
+    ref_fa = os.path.join(d, f"ref_{ref_len}{tag0}.fa")
     if not os.path.exists(ref_fa):
         rng = np.random.default_rng(42)
-        codes = rng.integers(0, 4, ref_len).astype(np.uint8)
+        if style == "chr21":
+            codes = _repeat_genome(rng, ref_len)
+        else:
+            codes = rng.integers(0, 4, ref_len).astype(np.uint8)
         with open(ref_fa, "w") as f:
             f.write(">benchref\n")
             seq = decode(codes)
@@ -59,7 +94,7 @@ def _ensure_fixture(ref_mb: float, n_reads: int, pe: bool):
         print(f"[bench] index built in {time.monotonic()-t:.1f}s",
               file=sys.stderr)
 
-    tag = "pe" if pe else "se"
+    tag = ("pe" if pe else "se") + tag0
     fq1 = os.path.join(d, f"reads_{ref_len}_{n_reads}_{tag}_1.fq")
     fq2 = os.path.join(d, f"reads_{ref_len}_{n_reads}_{tag}_2.fq")
     if not os.path.exists(fq1):
@@ -131,23 +166,40 @@ def bench_kernel() -> int:
     mat = jnp.asarray(opt.score_matrix())
     kw = dict(o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
               e_ins=opt.e_ins, zdrop=opt.zdrop, mat_max=opt.a)
-    # distinct pre-staged inputs per iteration: identical repeated calls can
-    # be served from transport-level caches and report impossible numbers
-    n_it = 8
-    sets = []
-    for _ in range(n_it):
-        q = rng.integers(0, 4, (B, Q)).astype(np.int32)
-        t = q.copy()  # full match: no early exit, every row computed
-        sets.append([jnp.asarray(x) for x in (q, qlen, t, tlen)]
-                    + [mat] + [jnp.asarray(x) for x in (w, h0, eb)])
+    # Honest timing on a tunneled backend: block_until_ready can return
+    # before device compute completes (observed: times independent of the
+    # work size), so the kernel runs REP times inside ONE device program
+    # (lax.scan, data-dependent carry so XLA cannot dedupe) and the wall
+    # time is forced by a d2h readback; the tunnel's ~26 ms fixed transfer
+    # cost is measured separately and subtracted.
+    REP = 16
+    q = rng.integers(0, 4, (B, Q)).astype(np.int32)
+    t = q.copy()  # full match: no early exit, every row computed
+    args = [jnp.asarray(x) for x in (q, qlen, t, tlen)] + [mat] + \
+        [jnp.asarray(x) for x in (w, h0, eb)]
 
-    out = fn(*sets[0], **kw)  # compile
-    jax.block_until_ready(out.score)
+    @jax.jit
+    def many(q, qlen, t, tlen, mat, w, h0, eb):
+        def body(c, _):
+            out = fn(q + c, qlen, t, tlen, mat, w, h0, eb, **kw)
+            return c + 0 * out.score[0], out.score[0]
+        _, s = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                            length=REP)
+        return s
+
+    _ = np.asarray(many(*args))  # compile
+    dt = 1e9
+    for _i in range(3):
+        t0 = _t.monotonic()
+        _ = np.asarray(many(*args))
+        dt = min(dt, _t.monotonic() - t0)
+    # d2h fixed cost: time an empty readback of the same output shape
+    probe = (jnp.arange(REP, dtype=jnp.int32) + args[5][0])
+    _ = np.asarray(probe)
     t0 = _t.monotonic()
-    for a in sets:
-        out = fn(*a, **kw)
-        jax.block_until_ready(out.score)  # per-iter sync: honest wall time
-    dt = (_t.monotonic() - t0) / n_it
+    _ = np.asarray(probe + 1)
+    overhead = _t.monotonic() - t0
+    dt = max(dt - overhead, 1e-9) / REP
 
     hw_cells = B * T * Q
     band_cols = min(2 * opt.w + 1, Q)
@@ -175,8 +227,9 @@ def main() -> int:
     n_reads = int(os.environ.get("TPUBWA_BENCH_READS", "20000"))
     ref_mb = float(os.environ.get("TPUBWA_BENCH_REF_MB", "4.6"))
     pe = os.environ.get("TPUBWA_BENCH_PE", "0") == "1"
+    style = os.environ.get("TPUBWA_BENCH_STYLE", "random")
 
-    ref_fa, fq1, fq2 = _ensure_fixture(ref_mb, n_reads, pe)
+    ref_fa, fq1, fq2 = _ensure_fixture(ref_mb, n_reads, pe, style=style)
 
     from tpubwa.align.pipeline import align_fastq
     from tpubwa.cli import _enable_compile_cache
@@ -216,7 +269,9 @@ def main() -> int:
     rps = n_reads / dt
     result = {
         "metric": ("reads_per_sec_1chip_"
-                   + ("pe" if pe else "se") + f"_{ref_mb:g}Mb_150bp_err1pct"),
+                   + ("pe" if pe else "se") + f"_{ref_mb:g}Mb"
+                   + ("" if style == "random" else f"_{style}")
+                   + "_150bp_err1pct"),
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),

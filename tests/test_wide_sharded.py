@@ -1,0 +1,152 @@
+"""Wide (>=2^31-capable) device-index layout + sharded-SA serving.
+
+The wide layout is exercised on a SMALL index with the dtype forced to
+int64 (`DeviceIndex.from_host(idx, wide=True)` under jax x64): the device
+programs are dtype-generic, so equality against the int32 path validates
+the exact arithmetic a GRCh38-scale (6.2 Gbp text) index would run.
+Sharded-SA lookups (the mode where the ~31 GB suffix array cannot be
+replicated per chip — index/fmindex.py sizing) are validated on the
+8-virtual-device CPU mesh.
+
+Reference analog: the 5-byte SA layout pinned in
+/root/reference/PHASE4_WEEK4_POLISH.md:148-175 (valid to 2^40) and the
+GRCh38 plan in PHASE4_FINAL_SUMMARY.md:296-309.
+"""
+import numpy as np
+import pytest
+
+from tpubwa.config import MemOptions
+from tpubwa.index.fmindex import FMIndex
+from tpubwa.io.fasta import Contig
+
+
+@pytest.fixture(scope="module")
+def idx():
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, 30000).astype(np.uint8)
+    return FMIndex.build([Contig("c1", 30000, 0)], codes)
+
+
+@pytest.fixture(scope="module")
+def batch(idx):
+    from tpubwa.utils import sim
+    from tpubwa.utils.dna import encode
+
+    reads = sim.simulate_reads(
+        idx.fetch_ref(0, idx.l_pac), [Contig("c1", 30000, 0)], 64,
+        length=100, err=0.02, seed=3)
+    codes = np.full((64, 128), 4, np.int32)
+    lens = np.zeros(64, np.int32)
+    for i, (_, seq, _) in enumerate(reads):
+        c = encode(seq)
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    return codes, lens
+
+
+def _collect(di, codes, lens, opt):
+    import jax.numpy as jnp
+
+    from tpubwa.ops.seeds import seed_rows
+    from tpubwa.ops.smem_chain import collect_smems_chain
+
+    sm = collect_smems_chain(
+        di, jnp.asarray(codes), jnp.asarray(lens),
+        min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+        split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+        out_cap=opt.max_smems_per_read)
+    cs = seed_rows(di, sm, max_occ=opt.max_occ,
+                   per_read_cap=opt.max_seeds_per_read)
+    return sm, cs
+
+
+def test_wide_layout_matches_int32(idx, batch):
+    """int64 (wide) device layout produces bit-identical seeding results
+    to the int32 layout on the same index."""
+    import jax
+
+    from tpubwa.ops.fm import DeviceIndex
+
+    codes, lens = batch
+    opt = MemOptions()
+    di32 = DeviceIndex.from_host(idx)
+    sm32, cs32 = _collect(di32, codes, lens, opt)
+    n32 = np.asarray(cs32.n)
+    rows32 = np.asarray(cs32.packed)[: int(n32)]
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        di64 = DeviceIndex.from_host(idx, wide=True)
+        assert di64.sa.dtype == np.int64 and di64.cp.dtype == np.int64
+        sm64, cs64 = _collect(di64, codes, lens, opt)
+        n64 = np.asarray(cs64.n)
+        rows64 = np.asarray(cs64.packed)[: int(n64)]
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    assert int(n32) == int(n64)
+    np.testing.assert_array_equal(rows32.astype(np.int64), rows64)
+    np.testing.assert_array_equal(np.asarray(sm32.n), np.asarray(sm64.n))
+    np.testing.assert_array_equal(np.asarray(cs32.l_rep),
+                                  np.asarray(cs64.l_rep))
+
+
+def test_cp_hi_roundtrip(tmp_path):
+    """Index save/load carries the wide checkpoint high words."""
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    ix = FMIndex.build([Contig("c1", 5000, 0)], codes)
+    # synthesize a cp_hi as a >=2^31 build would produce
+    ix.cp_hi = np.ones((ix.cp.shape[0], 4), np.int32)
+    pref = str(tmp_path / "ref.fa")
+    ix.save(pref)
+    back = FMIndex.load(pref)
+    np.testing.assert_array_equal(back.cp_hi, ix.cp_hi)
+
+
+def test_sa_lookup_sharded_matches(idx):
+    """all_gather/psum_scatter SA lookup == direct gather, 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpubwa.ops.fm import DeviceIndex, sa_lookup_sharded
+    from tpubwa.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    di = DeviceIndex.from_host(idx)
+    N = di.sa.shape[0]
+    pad = (-N) % 8
+    sa_host = np.asarray(di.sa)
+    sa_pad = np.concatenate([sa_host, np.zeros(pad, sa_host.dtype)])
+    sa_dev = jax.device_put(sa_pad, NamedSharding(mesh, P("dp")))
+
+    rng = np.random.default_rng(9)
+    rows = rng.integers(0, N, 4096).astype(np.int32)
+    rows_dev = jax.device_put(rows, NamedSharding(mesh, P("dp")))
+    got = np.asarray(sa_lookup_sharded(mesh, sa_dev, rows_dev))
+    np.testing.assert_array_equal(got, sa_host[rows])
+
+
+def test_pipeline_shard_sa_sam_identical(idx, tmp_path):
+    """Full production pipeline with the SA sharded over an 8-device mesh
+    emits byte-identical SAM to the single-device run."""
+    from tpubwa.align.pipeline import Aligner
+    from tpubwa.io.fastq import Read, batch_reads
+    from tpubwa.parallel.mesh import make_mesh
+    from tpubwa.utils import sim
+
+    contigs = [Contig("c1", 30000, 0)]
+    reads = sim.simulate_reads(idx.fetch_ref(0, idx.l_pac), contigs, 48,
+                               length=100, err=0.02, seed=21)
+    batch = next(batch_reads(
+        [Read(name=n, seq=s, qual=q) for n, s, q in reads], 64, 128))
+
+    opt1 = MemOptions(batch_reads=64, max_read_len=128)
+    al1 = Aligner(idx, opt1)
+    text1 = al1.align_se_text(batch, 0)
+
+    opt2 = MemOptions(batch_reads=64, max_read_len=128, shard_sa=True)
+    al2 = Aligner(idx, opt2, mesh=make_mesh(8))
+    text2 = al2.align_se_text(batch, 0)
+    assert text1 == text2

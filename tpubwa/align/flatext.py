@@ -150,7 +150,10 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
         sl = slice(j0, j0 + take)
 
         def pad(a):
-            v = np.zeros(W, np.int32)
+            # dtype-preserving: rbeg/rmax columns are int64 (wide indexes
+            # need the full width on device; narrow-mode jnp.asarray
+            # downcasts to int32 at upload)
+            v = np.zeros(W, a.dtype)
             v[:take] = a[sl]
             return v
 

@@ -310,7 +310,8 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
     qDj, tDj, pkj = _flat_windows(
         aligner.di, codes_dev, jnp.asarray(padv(flat_rows)),
         jnp.asarray(padv(qb)), jnp.asarray(padv(lq)),
-        jnp.asarray(padv(rb)), jnp.asarray(padv(rlen)),
+        jnp.asarray(padv(rb, np.int64)),  # rb exceeds int32 on wide indexes
+        jnp.asarray(padv(rlen)),
         jnp.asarray(padv(rev, np.bool_)),
         q_pad=QPAD, t_win=TWIN, a=opt.a, b=opt.b)
     # qDj/tDj stay on device; ONE packed compact vector downloads (the

@@ -510,7 +510,8 @@ class PairedCountMismatch(Exception):
 
 def align_pe_fastq(aligner, fq1: str, fq2: str, out,
                    workers: int = 1, chunk_dir: str | None = None,
-                   manifest: dict | None = None) -> int:
+                   manifest: dict | None = None,
+                   shard: tuple[int, int] | None = None) -> int:
     """Streaming PE driver: paired batches stream off both FASTQs (bounded
     memory — round 1 materialized whole files, VERDICT weak #6), processed
     by the same ordered worker pool as SE."""
@@ -540,7 +541,7 @@ def align_pe_fastq(aligner, fq1: str, fq2: str, out,
 
     try:
         run_ordered_pool(items(), work, out, workers, chunk_dir=chunk_dir,
-                         manifest=manifest)
+                         manifest=manifest, shard=shard)
     except PairedCountMismatch as e:
         # only the read-count check gets the clean one-line exit; any other
         # error propagates with a traceback (ADVICE r2: a broad ValueError

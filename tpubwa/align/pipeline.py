@@ -47,6 +47,10 @@ class Aligner:
 
         self.idx = idx
         self.opt = opt or MemOptions()
+        if idx.seq_len + 1 >= 1 << 31:
+            # wide (GRCh38-scale) index: device intervals/SA are int64
+            # (ops/fm.py DeviceIndex wide layout) — needs jax x64
+            jax.config.update("jax_enable_x64", True)
         self.mat = self.opt.score_matrix()
         self.contig_offsets = np.array([c.offset for c in idx.contigs],
                                        dtype=np.int64)
@@ -64,7 +68,23 @@ class Aligner:
 
             self._dp = NamedSharding(mesh, P("dp"))
             repl = NamedSharding(mesh, P())
-            self.di = jax.device_put(self.di, repl)
+            if self.opt.shard_sa:
+                # GRCh38 serving mode: the SA does not fit one chip —
+                # shard it over the mesh (lookups go through
+                # ops.fm.sa_lookup_sharded's all_gather/psum_scatter)
+                D = mesh.devices.size
+                sa_host = np.asarray(self.di.sa)
+                pad = (-len(sa_host)) % D
+                if pad:
+                    sa_host = np.concatenate(
+                        [sa_host, np.zeros(pad, sa_host.dtype)])
+                sa_dev = jax.device_put(
+                    sa_host, NamedSharding(mesh, P("dp")))
+                rest = jax.device_put(self.di._replace(sa=self.di.sa[:1]),
+                                      repl)
+                self.di = rest._replace(sa=sa_dev)
+            else:
+                self.di = jax.device_put(self.di, repl)
             self._n_shard = mesh.devices.size
         else:
             self._dp = None
@@ -152,7 +172,9 @@ class Aligner:
                 split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
                 out_cap=opt.max_smems_per_read)
             cs = self._expand(self.di, sm, max_occ=opt.max_occ,
-                              per_read_cap=opt.max_seeds_per_read)
+                              per_read_cap=opt.max_seeds_per_read,
+                              mesh=self.mesh if opt.shard_sa else None,
+                              shard_sa=opt.shard_sa)
             ovf = (sm.overflow | cs.overflow).astype(jnp.int32)
             meta_dev = jnp.concatenate([cs.n[None], cs.l_rep, ovf])
         return cs, meta_dev, codes_dev, lens_dev
@@ -334,31 +356,55 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
                 min_seed_len: int = 19, threads: int = 1,
                 batch_reads_n: int | None = None, batch_reads=None,
                 preset: str | None = None, chunk_dir: str | None = None,
-                cmdline: str = "tpu-bwa mem") -> int:
+                cmdline: str = "tpu-bwa mem",
+                shard: tuple[int, int] | None = None) -> int:
     """CLI entry: align FASTQ(s) against an indexed reference, write SAM."""
+    import jax
+
     if preset:
-        opt = MemOptions.preset(preset, min_seed_len=min_seed_len)
-    else:
-        opt = MemOptions(min_seed_len=min_seed_len)
-    if batch_reads is not None:
-        opt.batch_reads = int(batch_reads)
+        chain = [preset]
+    else:  # topology auto-detection (runsimd_arm-style fallback chain)
+        devs = jax.devices()
+        chain = MemOptions.auto_chain(devs[0].platform, len(devs))
     if not FMIndex.exists(ref):
         print(f"[tpu-bwa] no index for {ref}; run `tpu-bwa index` first",
               file=sys.stderr)
         return 1
     idx = FMIndex.load(ref)
-    aligner = Aligner(idx, opt)
+    aligner = None
+    for i, name in enumerate(chain):
+        opt = MemOptions.preset(name, min_seed_len=min_seed_len)
+        if batch_reads is not None:
+            opt.batch_reads = int(batch_reads)
+        try:
+            aligner = Aligner(idx, opt)
+        except Exception as e:
+            if i + 1 >= len(chain):
+                raise
+            print(f"[tpu-bwa] preset {name} failed ({e}); falling back "
+                  f"to {chain[i + 1]}", file=sys.stderr)
+            continue
+        mesh_txt = (f"mesh {tuple(opt.mesh_shape)}" if opt.mesh_shape
+                    else "single device")
+        print(f"[tpu-bwa] topology: {len(jax.devices())}x "
+              f"{jax.devices()[0].platform} -> preset {name} "
+              f"(batch {opt.batch_reads}, {mesh_txt})", file=sys.stderr)
+        break
     out.write(sam_header(idx.contigs, cmdline, tpubwa.__version__))
     manifest = _run_manifest(ref, fq1, fq2, opt) if chunk_dir else None
 
+    if shard is not None and not chunk_dir:
+        raise ValueError("multi-host sharding requires --chunks DIR "
+                         "(hosts meet in the shared chunk directory)")
     if fq2 is not None:
         from tpubwa.align.pair import align_pe_fastq
 
         return align_pe_fastq(aligner, fq1, fq2, out, workers=threads,
-                              chunk_dir=chunk_dir, manifest=manifest)
+                              chunk_dir=chunk_dir, manifest=manifest,
+                              shard=shard)
 
     run_se_pipeline(aligner, fq1, out, workers=threads, chunk_dir=chunk_dir,
-                    manifest=manifest)
+                    manifest=manifest, shard=shard)
     print(aligner.timers.report(), file=sys.stderr)
     return 0
 
@@ -412,7 +458,8 @@ def _check_chunk_manifest(chunk_dir: str, manifest: dict | None) -> None:
 
 def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
                      chunk_dir: str | None = None,
-                     manifest: dict | None = None) -> int:
+                     manifest: dict | None = None,
+                     shard: tuple[int, int] | None = None) -> int:
     """Generic pipelined driver: a reader thread streams work items,
     ``workers`` threads each process whole items (device calls from all
     workers interleave on the chip's stream while host Python of one item
@@ -433,7 +480,15 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
     from the completed chunks (SURVEY.md §5 "Failure detection": per-shard
     restart + idempotent output chunking).  ``manifest`` identifies the run
     (inputs + options); resuming from a chunk dir whose manifest differs is
-    an error."""
+    an error.
+
+    ``shard=(host_id, n_hosts)`` is the multi-host scale-out mode
+    (reference analog: whole-binary-per-instance parallel launches,
+    /root/reference/WEEK2_COMPLETE_SUCCESS.md:244-258): this process only
+    computes items with global_seq %% n_hosts == host_id, but chunk files
+    keep their GLOBAL sequence numbers — when every host has finished
+    against the same chunk_dir, concatenating chunk_*.sam in name order
+    reproduces the single-host output exactly."""
     import heapq
     import os
     import queue
@@ -456,19 +511,24 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
 
     def reader():
         try:
-            for seq, (payload, n_units) in enumerate(items):
+            lseq = 0
+            for gseq, (payload, n_units) in enumerate(items):
                 if stop.is_set():
                     break
+                if shard is not None and gseq % shard[1] != shard[0]:
+                    continue  # another host's item
                 # bounded put that stays responsive to worker errors: if
                 # every worker died the queue never drains and a plain
                 # put() would deadlock the whole pool (ADVICE r2 #1)
                 while True:
                     try:
-                        in_q.put((seq, payload, n_units), timeout=0.2)
+                        in_q.put((lseq, gseq, payload, n_units),
+                                 timeout=0.2)
                         break
                     except queue.Full:
                         if stop.is_set():
                             return
+                lseq += 1
         except BaseException as e:  # propagate to main
             err.append(e)
             stop.set()
@@ -493,18 +553,18 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
             if item is None:
                 out_q.put(None)
                 return
-            seq, payload, n_units = item
+            seq, gseq, payload, n_units = item
             try:
-                if chunk_dir and os.path.exists(chunk_path(seq)):
-                    with open(chunk_path(seq)) as f:  # resume: reuse chunk
+                if chunk_dir and os.path.exists(chunk_path(gseq)):
+                    with open(chunk_path(gseq)) as f:  # resume: reuse chunk
                         text = f.read()
                 else:
                     text = work(payload)
                     if chunk_dir:
-                        tmp = chunk_path(seq) + ".tmp"
+                        tmp = chunk_path(gseq) + ".tmp"
                         with open(tmp, "w") as f:
                             f.write(text)
-                        os.replace(tmp, chunk_path(seq))  # atomic publish
+                        os.replace(tmp, chunk_path(gseq))  # atomic publish
             except BaseException as e:
                 err.append(e)
                 stop.set()
@@ -553,7 +613,8 @@ def run_ordered_pool(items, work, out, workers: int, label: str = "reads",
 
 def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
                     chunk_dir: str | None = None,
-                    manifest: dict | None = None) -> int:
+                    manifest: dict | None = None,
+                    shard: tuple[int, int] | None = None) -> int:
     """Pipelined SE driver over run_ordered_pool."""
     from tpubwa.io.fastq import stream_batches
 
@@ -570,4 +631,5 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
         return aligner.align_se_text(batch, read_id0)
 
     return run_ordered_pool(items(), work, out, workers,
-                            chunk_dir=chunk_dir, manifest=manifest)
+                            chunk_dir=chunk_dir, manifest=manifest,
+                            shard=shard)

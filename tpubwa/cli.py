@@ -43,6 +43,23 @@ def cmd_mem(args) -> int:
         if not os.path.exists(f):
             print(f"tpu-bwa mem: no such file: {f}", file=sys.stderr)
             return 1
+    shard = None
+    if args.hosts:
+        if not args.chunks:
+            print("tpu-bwa mem: --hosts requires --chunks DIR",
+                  file=sys.stderr)
+            return 1
+        if not (0 <= args.host_id < args.hosts):
+            print("tpu-bwa mem: --host-id must be in [0, --hosts)",
+                  file=sys.stderr)
+            return 1
+        shard = (args.host_id, args.hosts)
+        if args.coordinator:
+            import jax
+
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.hosts, process_id=args.host_id)
     if args.profile:
         # device trace (SURVEY.md §5 "Tracing / profiling": the reference
         # prescribed perf record recipes; here jax.profiler captures the
@@ -62,6 +79,7 @@ def cmd_mem(args) -> int:
             preset=args.preset,
             chunk_dir=args.chunks,
             cmdline=" ".join(sys.argv),
+            shard=shard,
         )
     except ValueError as e:
         print(f"tpu-bwa mem: {e}", file=sys.stderr)
@@ -119,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
                          "(reads data-parallel over the mesh)")
     pm.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace into DIR")
+    pm.add_argument("--hosts", type=int, default=None, metavar="N",
+                    help="multi-host scale-out: total number of host "
+                         "processes; each aligns its share of the read "
+                         "batches into the shared --chunks DIR "
+                         "(cat DIR/chunk_*.sam reproduces the single-"
+                         "host SAM body)")
+    pm.add_argument("--host-id", type=int, default=0, metavar="H",
+                    help="this process's id in [0, --hosts)")
+    pm.add_argument("--coordinator", default=None, metavar="ADDR:PORT",
+                    help="jax.distributed coordinator address (TPU pods; "
+                         "local CPU testing needs none)")
     pm.add_argument("ref")
     pm.add_argument("reads1")
     pm.add_argument("reads2", nargs="?", default=None)

@@ -59,6 +59,9 @@ class MemOptions:
     batch_reads: int = 8192        # reads per device batch
     mesh_shape: tuple = ()         # device mesh for data-parallel sharding
     #                                (empty = single device)
+    shard_sa: bool = False         # shard the suffix array over the mesh
+    #                                (GRCh38-scale serving: the SA doesn't
+    #                                fit one chip; ops.fm.sa_lookup_sharded)
     max_read_len: int = 160        # static padded read length on device
     max_smems_per_read: int = 64   # static SMEM capacity per read
     max_seeds_per_read: int = 128  # static seed capacity per read
@@ -89,6 +92,35 @@ class MemOptions:
         cfg = dict(presets[name])
         cfg.update(overrides)
         return cls(**cfg)
+
+    @staticmethod
+    def auto_chain(platform: str, n_devices: int) -> list[str]:
+        """Topology auto-detection: preset candidates, best first.
+
+        The reference's runtime dispatcher probes the CPU and execve's the
+        best fat binary with a G4 -> G3 -> G2 fallback chain ([src]
+        runsimd_arm.cpp, /root/reference/PHASE1_IMPLEMENTATION.md:85-131);
+        here the probe is jax.devices() and the fallback chain degrades
+        the mesh size down to a single device."""
+        if platform != "tpu":
+            return ["cpu-dev"]
+        chain = []
+        if n_devices >= 16:
+            chain.append("v5e-16")
+        if n_devices >= 4:
+            chain.append("v5e-4")
+        chain.append("v5e-1")
+        return chain
+
+    @classmethod
+    def auto(cls, **overrides) -> "MemOptions":
+        """Pick the preset for the visible device topology (first entry
+        of the fallback chain; align_fastq walks the rest on failure)."""
+        import jax
+
+        devs = jax.devices()
+        name = cls.auto_chain(devs[0].platform, len(devs))[0]
+        return cls.preset(name, **overrides)
 
     @property
     def split_len(self) -> int:

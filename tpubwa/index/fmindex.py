@@ -54,6 +54,9 @@ class FMIndex:
     sa_ls: np.ndarray          # uint32 [N+1] suffix array low words
     sa_ms: np.ndarray          # uint8  [N+1] suffix array high bytes
     holes: np.ndarray          # int64 [n,2] ambiguous-base runs (fwd coords)
+    cp_hi: np.ndarray | None = None  # int32 [nblocks, 4] high words of the
+    #                            occ counts — present only for >=2^31 texts
+    #                            (cp cols 0..3 then hold the LOW 32 bits)
 
     @property
     def sa(self) -> np.ndarray:
@@ -87,8 +90,9 @@ class FMIndex:
         L2 += 1  # sentinel occupies rank 0
         L2[0] = 1
 
-        cp = cls._build_checkpoints(bwt, n)
+        cp, cp_hi = cls._build_checkpoints(bwt, n)
         return cls(
+            cp_hi=cp_hi,
             contigs=contigs,
             l_pac=l_pac,
             pac_words=pack_2bit(codes),
@@ -106,22 +110,38 @@ class FMIndex:
         return cls.build(contigs, codes, holes, use_native=use_native)
 
     @staticmethod
-    def _build_checkpoints(bwt: np.ndarray, n: int) -> np.ndarray:
+    def _build_checkpoints(bwt: np.ndarray, n: int
+                           ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Fused checkpoints; for texts >= 2^31 the cumulative counts
+        overflow int32, so cp cols 0..3 store the LOW words and a second
+        int32 [nblocks, 4] carries the high words (cp_hi)."""
+        wide = n + 1 >= 1 << 31
         nblocks = n // CP_BLOCK + 1
         cp = np.zeros((nblocks, 8), dtype=np.int32)
-        # cumulative counts at block starts
-        onehot = np.zeros((4, n), dtype=np.int32)
+        # cumulative counts at block starts, via per-block counts (memory-
+        # lean: O(nblocks) int64, not an O(n) cumsum — n is 6.2e9 at
+        # GRCh38); int64 accumulate since a >=2^31 text overflows int32
+        padded = np.full(nblocks * CP_BLOCK, 4, dtype=np.uint8)
+        padded[:n] = bwt
+        blocks = padded.reshape(nblocks, CP_BLOCK)
+        csum64 = np.empty((4, nblocks - 1), dtype=np.int64)
         for c in range(4):
-            onehot[c] = bwt == c
-        csum = np.cumsum(onehot, axis=1)
-        starts = np.arange(1, nblocks) * CP_BLOCK
-        cp[1:, 0:4] = csum[:, np.minimum(starts, n) - 1].T
+            per_blk = np.count_nonzero(blocks == c, axis=1)
+            csum64[c] = np.cumsum(per_blk.astype(np.int64))[:-1]
+        cp_hi = None
+        if wide:
+            cp_hi = np.zeros((nblocks, 4), dtype=np.int32)
+            cp_hi[1:, :] = (csum64 >> 32).T.astype(np.int32)
+            cp[1:, 0:4] = (csum64 & 0xFFFFFFFF).T.astype(
+                np.uint32).view(np.int32)
+        else:
+            cp[1:, 0:4] = csum64.T.astype(np.int32)
         # packed bwt words per block (4 uint32 words = 64 codes)
         padded = np.zeros(nblocks * CP_BLOCK, dtype=np.uint8)
         padded[:n] = bwt
         words = pack_2bit(padded).reshape(nblocks, 4)
         cp[:, 4:8] = words.view(np.int32)
-        return cp
+        return cp, cp_hi
 
     # ---------------- host queries (reference semantics) ----------------
 
@@ -185,8 +205,7 @@ class FMIndex:
             "primary": self.primary,
             "contigs": [dataclasses.asdict(c) for c in self.contigs],
         }
-        np.savez(
-            prefix + INDEX_SUFFIX + ".npz",
+        arrays = dict(
             pac_words=self.pac_words,
             L2=self.L2,
             cp=self.cp,
@@ -194,6 +213,9 @@ class FMIndex:
             sa_ms=self.sa_ms,
             holes=self.holes,
         )
+        if self.cp_hi is not None:
+            arrays["cp_hi"] = self.cp_hi
+        np.savez(prefix + INDEX_SUFFIX + ".npz", **arrays)
         with open(prefix + INDEX_SUFFIX + ".json", "w") as f:
             json.dump(meta, f)
 
@@ -218,6 +240,7 @@ class FMIndex:
             sa_ls=sa_ls,
             sa_ms=sa_ms,
             holes=z["holes"],
+            cp_hi=z["cp_hi"] if "cp_hi" in z else None,
         )
 
     @staticmethod

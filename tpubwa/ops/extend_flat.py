@@ -66,7 +66,8 @@ def extend_jobs(di: DeviceIndex, codes: jax.Array, lens: jax.Array,
     qidx_l = qbeg[:, None] - 1 - jq
     q_l = jnp.take_along_axis(qg, jnp.clip(qidx_l, 0, L - 1), axis=1)
     q_l = jnp.where(jq < qlen_l[:, None], q_l, 4)
-    tlen_l = jnp.minimum(rbeg - rmax0, t_pad)
+    # window lengths fit int32 regardless of the (possibly int64) rbeg
+    tlen_l = jnp.minimum(rbeg - rmax0, t_pad).astype(I32)
     t_l = ref_window_left(di, rbeg, t_pad)   # word-gather, 1/16th elements
     t_l = jnp.where(jt < tlen_l[:, None], t_l, 4)
 
@@ -77,7 +78,7 @@ def extend_jobs(di: DeviceIndex, codes: jax.Array, lens: jax.Array,
     q_r = jnp.take_along_axis(qg, jnp.clip(qidx_r, 0, L - 1), axis=1)
     q_r = jnp.where(jq < qlen_r[:, None], q_r, 4)
     re0 = rbeg + slen
-    tlen_r = jnp.minimum(rmax1 - re0, t_pad)
+    tlen_r = jnp.minimum(rmax1 - re0, t_pad).astype(I32)
     t_r = ref_window_right(di, re0, t_pad)
     t_r = jnp.where(jt < tlen_r[:, None], t_r, 4)
 

@@ -21,30 +21,63 @@ from tpubwa.index.fmindex import FMIndex
 
 
 class DeviceIndex(NamedTuple):
-    """HBM-resident FM-index tensors."""
+    """HBM-resident FM-index tensors.
 
-    cp: jax.Array         # int32 [nblocks, 8]
-    sa: jax.Array         # int32 [N+1]
+    Two dtype layouts share one code path (every op derives its interval
+    dtype from ``L2.dtype``):
+
+    - **narrow** (seq_len + 1 < 2^31): everything int32 — the fused
+      ``cp[nblocks, 8]`` row is 32 B, one gather per occ query.
+    - **wide** (>= 2^31, e.g. GRCh38's 6.2 Gbp index text): SA/intervals/
+      counts are int64; ``cp`` is int64 [nblocks, 8] (cols 4..7 still hold
+      the 2-bit-packed BWT words, valued < 2^32) so an occ query remains
+      ONE 64-byte gather row — the GET_OCC one-cache-line design at twice
+      the line size.  Requires jax x64 (enabled by the Aligner when it
+      loads a wide index).
+    """
+
+    cp: jax.Array         # int32|int64 [nblocks, 8]
+    sa: jax.Array         # int32|int64 [N+1]
     pac_words: jax.Array  # uint32 [ceil(l_pac/16)]
-    L2: jax.Array         # int32 [5]
-    primary: jax.Array    # int32 scalar
-    l_pac: jax.Array      # int32 scalar
+    L2: jax.Array         # int32|int64 [5]
+    primary: jax.Array    # int32|int64 scalar
+    l_pac: jax.Array      # int32|int64 scalar
 
     @classmethod
-    def from_host(cls, idx: FMIndex) -> "DeviceIndex":
-        if idx.seq_len + 1 >= 1 << 31:
-            # the replicated int32 device pipeline ends here; GRCh38-scale
-            # serving shards the SA over the mesh (fmindex.py HBM sizing)
-            raise NotImplementedError(
-                "seq_len >= 2^31: use the sharded-SA device layout")
-        # host combine of the 5-byte split storage; values < 2^31 here
+    def from_host(cls, idx: FMIndex, wide: bool | None = None
+                  ) -> "DeviceIndex":
+        if wide is None:
+            wide = idx.seq_len + 1 >= 1 << 31
+        if not wide:
+            # host combine of the 5-byte split storage; values < 2^31 here
+            return cls(
+                cp=jnp.asarray(idx.cp, dtype=jnp.int32),
+                sa=jnp.asarray(idx.sa_ls.view(np.int32)),
+                pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
+                L2=jnp.asarray(idx.L2, dtype=jnp.int32),
+                primary=jnp.int32(idx.primary),
+                l_pac=jnp.int32(idx.l_pac),
+            )
+        import jax as _jax
+
+        if not _jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "wide (>=2^31) index serving needs jax x64 "
+                "(jax.config.update('jax_enable_x64', True) — the Aligner "
+                "does this automatically when loading a wide index)")
+        cp_wide = np.zeros((idx.cp.shape[0], 8), dtype=np.int64)
+        counts = idx.cp[:, 0:4].view(np.uint32).astype(np.int64)
+        if idx.cp_hi is not None:   # >=2^31 builds carry the high words
+            counts |= idx.cp_hi.astype(np.int64) << 32
+        cp_wide[:, 0:4] = counts
+        cp_wide[:, 4:8] = idx.cp[:, 4:8].view(np.uint32)
         return cls(
-            cp=jnp.asarray(idx.cp, dtype=jnp.int32),
-            sa=jnp.asarray(idx.sa_ls.view(np.int32)),
+            cp=jnp.asarray(cp_wide),
+            sa=jnp.asarray(idx.sa.astype(np.int64)),
             pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
-            L2=jnp.asarray(idx.L2, dtype=jnp.int32),
-            primary=jnp.int32(idx.primary),
-            l_pac=jnp.int32(idx.l_pac),
+            L2=jnp.asarray(idx.L2, dtype=jnp.int64),
+            primary=jnp.int64(idx.primary),
+            l_pac=jnp.int64(idx.l_pac),
         )
 
 
@@ -68,12 +101,16 @@ def occ4(cp: jax.Array, primary: jax.Array, i: jax.Array) -> jax.Array:
     counts of each base in BWT_full[0:i) (sentinel row handled via the
     primary-shift; the sentinel itself is never counted here).
     """
-    j = i - (i > primary).astype(jnp.int32)
+    j = i - (i > primary).astype(i.dtype)
     blk = j >> 6
-    off = j & 63
+    off = (j & 63).astype(jnp.int32)
     row = cp[blk]                       # [..., 8] one gather per query
     counts = row[..., 0:4]
-    words = jax.lax.bitcast_convert_type(row[..., 4:8], jnp.uint32)  # [...,4]
+    if row.dtype == jnp.int64:          # wide layout: words valued < 2^32
+        words = row[..., 4:8].astype(jnp.uint32)
+    else:
+        words = jax.lax.bitcast_convert_type(row[..., 4:8],
+                                             jnp.uint32)  # [..., 4]
 
     # per-word prefix lengths within the block: p_w = clip(off - 16w, 0, 16)
     w_ids = jnp.arange(4, dtype=jnp.int32)
@@ -156,6 +193,46 @@ def set_intv(di: DeviceIndex, c: jax.Array) -> BiInterval:
 def sa_lookup(di: DeviceIndex, r: jax.Array) -> jax.Array:
     """Suffix-array positions for rows r (int32 [...])."""
     return di.sa[r]
+
+
+def sa_lookup_sharded(mesh, sa: jax.Array, rows: jax.Array,
+                      axis: str = "dp") -> jax.Array:
+    """SA positions for global rows when ``sa`` is SHARDED over ``axis``
+    (the GRCh38 serving mode: the 5-byte SA is ~31 GB and does not fit
+    one chip's HBM — fmindex.py sizing; SURVEY.md §5 distributed plan).
+
+    Pattern: all_gather the (small) request vector over the mesh axis,
+    every shard answers the requests that land in its slice, and a
+    psum_scatter routes each answer back to the requesting device —
+    exactly one shard hits per request, so the sum IS the answer.
+    Traffic is O(n_devices * n_requests) int rows over ICI, never the
+    O(N) SA itself.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    D = mesh.shape[axis]
+    shard = sa.shape[0] // D
+
+    def body(sa_loc, rows_loc):
+        i = jax.lax.axis_index(axis)
+        allrows = jax.lax.all_gather(rows_loc, axis)           # [D, n]
+        loc = allrows - (i * shard).astype(allrows.dtype)
+        hit = (loc >= 0) & (loc < shard)
+        vals = jnp.where(hit, sa_loc[jnp.clip(loc, 0, shard - 1)], 0)
+        return jax.lax.psum_scatter(vals, axis,
+                                    scatter_dimension=0, tiled=False)
+
+    try:    # jax.shard_map (v0.8+) dropped check_rep
+        f = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                      out_specs=P(axis))
+    except TypeError:
+        f = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                      out_specs=P(axis), check_rep=False)
+    return f(sa, rows)
 
 
 def fetch_ref_batch(di: DeviceIndex, pos: jax.Array) -> jax.Array:

@@ -106,10 +106,11 @@ class CompactSeeds(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_occ", "per_read_cap",
-                                             "rows_per_read"))
+                                             "rows_per_read", "mesh",
+                                             "shard_sa"))
 def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
-              per_read_cap: int = 128, rows_per_read: int = 32
-              ) -> CompactSeeds:
+              per_read_cap: int = 128, rows_per_read: int = 32,
+              mesh=None, shard_sa: bool = False) -> CompactSeeds:
     """SMEMs -> dense [CAP, 4] seed rows (read_id, rbeg, qbeg, len) directly
     in compacted global layout (read-major, SMEM order within read).
 
@@ -123,12 +124,14 @@ def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
     overflow flags.
     """
     B, M = sm.k.shape
+    idt = sm.k.dtype   # interval dtype: int64 for wide (>=2^31) indexes
     S = per_read_cap
     CAP = B * rows_per_read
     in_use = jnp.arange(M)[None, :] < sm.n[:, None]
     occ = jnp.where(in_use, sm.s, 0)
     step = jnp.where(occ > max_occ, occ // max_occ, 1)
-    cnt = jnp.minimum(occ, max_occ)
+    # per-read slot counts are small (<= max_occ): back to int32
+    cnt = jnp.minimum(occ, max_occ).astype(I32)
 
     # per-read prefix, truncated at the per-read cap S
     off_end_r = jnp.cumsum(cnt, axis=1)
@@ -156,8 +159,15 @@ def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
     valid = t < n_total
     rd = owner // M
     j = t - g_beg.reshape(-1)[owner]
-    sa_row = sm.k.reshape(-1)[owner] + j * step.reshape(-1)[owner]
-    rbeg = di.sa[jnp.clip(sa_row, 0, di.sa.shape[0] - 1)]
+    sa_row = sm.k.reshape(-1)[owner] + (j * step.reshape(-1)[owner]
+                                        ).astype(idt)
+    sa_row = jnp.clip(sa_row, 0, di.sa.shape[0] - 1)
+    if shard_sa:
+        from tpubwa.ops.fm import sa_lookup_sharded
+
+        rbeg = sa_lookup_sharded(mesh, di.sa, sa_row)
+    else:
+        rbeg = di.sa[sa_row]
     qbeg = sm.start.reshape(-1)[owner]
     slen = sm.end.reshape(-1)[owner] - qbeg
 
@@ -169,8 +179,9 @@ def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
     k32 = keep.astype(I32)
     pos = jnp.cumsum(k32) - k32
     out_dst = jnp.where(keep, pos, CAP)
-    rows = jnp.stack([rd, rbeg, qbeg, slen], axis=1)
-    packed = jnp.zeros((CAP, 4), I32).at[out_dst].set(rows, mode="drop")
+    rows = jnp.stack([rd.astype(idt), rbeg.astype(idt),
+                      qbeg.astype(idt), slen.astype(idt)], axis=1)
+    packed = jnp.zeros((CAP, 4), idt).at[out_dst].set(rows, mode="drop")
     n = jnp.sum(k32)
 
     # l_rep: union length of query intervals of repetitive SMEMs (vectorized
@@ -178,11 +189,11 @@ def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
     rep = in_use & (sm.s > max_occ)
     end_m = jnp.where(rep, sm.end, 0)
     prev = jnp.concatenate(
-        [jnp.zeros((B, 1), I32), jax.lax.cummax(end_m, axis=1)[:, :-1]],
-        axis=1)
+        [jnp.zeros((B, 1), end_m.dtype),
+         jax.lax.cummax(end_m, axis=1)[:, :-1]], axis=1)
     contrib = jnp.where(
         rep, jnp.maximum(0, sm.end - jnp.maximum(sm.start, prev)), 0)
-    l_rep = jnp.sum(contrib, axis=1)
+    l_rep = jnp.sum(contrib, axis=1).astype(I32)
 
     ovf = read_ovf | (base + read_tot > CAP)
     return CompactSeeds(packed=packed, n=n, l_rep=l_rep, overflow=ovf)

@@ -113,18 +113,20 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     Emissions arrive in ascending-start order per read (matching the scalar
     reference's round-1 order)."""
     B, L = q.shape
+    idt = di.L2.dtype  # interval dtype: int32, or int64 for wide indexes
     q = q.astype(I32)
     lens = lens.astype(I32)
     slotsC = jnp.arange(cap, dtype=I32)
     zeroB = jnp.zeros((B,), I32)
+    zeroK = jnp.zeros((B,), idt)
 
     st = dict(
         mode=jnp.where(lens > 0, jnp.full((B,), FRESH, I32),
                        jnp.full((B,), DONE, I32)),
         i=zeroB, j=zeroB, start=zeroB, e_anchor=zeroB,
-        k=zeroB, l=zeroB, s=zeroB,
-        bk=zeroB, bl=zeroB, bs=zeroB,
-        m5=jnp.zeros((B, cap, 5), I32),
+        k=zeroK, l=zeroK, s=zeroK,
+        bk=zeroK, bl=zeroK, bs=zeroK,
+        m5=jnp.zeros((B, cap, 5), idt),
         mn=zeroB, ovf=jnp.zeros((B,), bool),
     )
 
@@ -169,7 +171,9 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         # a compare+select over B*cap*5 elems is ~free VPU math
         eok = emit & (st["mn"] < cap)
         vals = jnp.stack(
-            [st["k"], st["l"], st["s"], st["start"], i], axis=-1)
+            [st["k"], st["l"], st["s"],
+             st["start"].astype(st["k"].dtype),
+             i.astype(st["k"].dtype)], axis=-1)
         upd = eok[:, None] & (slotsC == st["mn"][:, None])
         m5 = jnp.where(upd[:, :, None], vals[:, None, :], st["m5"])
         mn = st["mn"] + eok.astype(I32)
@@ -232,8 +236,10 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     occ threshold / active.  Returns Smems with [G, cap] buffers (emissions
     in ascending-start order per lane, matching fm_ref.smem1 output)."""
     G = rd.shape[0]
+    idt = di.L2.dtype
     slotsC = jnp.arange(cap, dtype=I32)
     zeroG = jnp.zeros((G,), I32)
+    zeroK = jnp.zeros((G,), idt)
     qg = q[rd]                       # [G, L] (gather rows once)
     leng = lens[rd]
 
@@ -243,9 +249,9 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         mode=jnp.where(act & (qm < 4), jnp.full((G,), BWD, I32),
                        jnp.full((G,), DONE, I32)),
         i=zeroG, j=mid - 1, start=mid, e_anchor=mid + 1,
-        k=zeroG, l=zeroG, s=zeroG,
+        k=zeroK, l=zeroK, s=zeroK,
         bk=iv0.k, bl=iv0.l, bs=iv0.s,
-        m5=jnp.zeros((G, cap, 5), I32),
+        m5=jnp.zeros((G, cap, 5), idt),
         mn=zeroG, ovf=jnp.zeros((G,), bool),
     )
 
@@ -279,7 +285,9 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
 
         eok = emit & (st["mn"] < cap)
         vals = jnp.stack(
-            [st["k"], st["l"], st["s"], st["start"], i], axis=-1)
+            [st["k"], st["l"], st["s"],
+             st["start"].astype(st["k"].dtype),
+             i.astype(st["k"].dtype)], axis=-1)
         upd = eok[:, None] & (slotsC == st["mn"][:, None])
         m5 = jnp.where(upd[:, :, None], vals[:, None, :], st["m5"])
         mn = st["mn"] + eok.astype(I32)
@@ -337,12 +345,14 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     zeroB = jnp.zeros((B,), I32)
 
     EXT3 = 1
+    idt = di.L2.dtype
+    zeroK = jnp.zeros((B,), idt)
     st = dict(
         mode=jnp.where(lens > 0, jnp.full((B,), FRESH, I32),
                        jnp.full((B,), DONE, I32)),
         i=zeroB, x=zeroB,
-        k=zeroB, l=zeroB, s=zeroB,
-        m5=jnp.zeros((B, cap, 5), I32),
+        k=zeroK, l=zeroK, s=zeroK,
+        m5=jnp.zeros((B, cap, 5), idt),
         mn=zeroB, ovf=jnp.zeros((B,), bool),
     )
 
@@ -374,7 +384,8 @@ def smem_round3_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         adv = can & ~hit
 
         eok = found & (st["mn"] < cap)
-        vals = jnp.stack([nk, nl, ns, st["x"], i + 1], axis=-1)
+        vals = jnp.stack([nk, nl, ns, st["x"].astype(nk.dtype),
+                          (i + 1).astype(nk.dtype)], axis=-1)
         upd = eok[:, None] & (slotsC == st["mn"][:, None])
         m5 = jnp.where(upd[:, :, None], vals[:, None, :], st["m5"])
         mn = st["mn"] + eok.astype(I32)
@@ -411,7 +422,8 @@ def _smem_r1_prep(di: DeviceIndex, q: jax.Array, lens: jax.Array, *,
     """Stage 1: round-1 SMEMs appended into fresh output buffers + the
     round-2 candidate compaction table (read-major order)."""
     B, L = q.shape
-    zero_out = jnp.zeros((B, out_cap), dtype=I32)
+    idt = di.L2.dtype
+    zero_out = jnp.zeros((B, out_cap), dtype=idt)
     slot_ids = jnp.arange(out_cap, dtype=I32)[None, :]
     mems = Smems(k=zero_out, l=zero_out, s=zero_out, start=zero_out,
                  end=zero_out, n=jnp.zeros(B, dtype=I32),
@@ -450,7 +462,8 @@ def _smem_r2_wave(di: DeviceIndex, q: jax.Array, lens: jax.Array,
     act = gidx < total
     sf = src_tab[jnp.minimum(gidx, NC - 1)]
     rd = sf // out_cap
-    mid = jnp.where(act, (r1_start[sf] + r1_end[sf]) >> 1, 0)
+    mid = jnp.where(act, ((r1_start[sf] + r1_end[sf]) >> 1
+                          ).astype(I32), 0)
     thr = jnp.where(act, r1_s[sf] + 1, 1)
     sub = smem_through_chain(di, q, lens, rd, mid, thr, act,
                              min_seed_len=min_seed_len, cap=r2_cap)
@@ -472,7 +485,7 @@ def _smem_r2_wave(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         return buf.at[rows, dest].set(vals, mode="drop")
 
     n_add = jnp.zeros((B,), I32).at[rd].add(
-        jnp.sum(ok.astype(I32), axis=1))
+        jnp.sum(ok.astype(I32), axis=1).astype(I32))
     drop = jnp.zeros((B,), I32).at[rd].max(
         (jnp.any(emask & ~ok, axis=1) | sub.overflow).astype(I32))
     return Smems(
