@@ -31,7 +31,10 @@ def main():
     from tpubwa.io.fastq import stream_batches
 
     _enable_compile_cache()
-    ref_fa, fq1, _ = _ensure_fixture(4.6, 20000, False)
+    import os as _os
+    style = _os.environ.get("STYLE", "random")
+    mb = float(_os.environ.get("REF_MB", "4.6"))
+    ref_fa, fq1, _ = _ensure_fixture(mb, 20000, False, style=style)
     idx = FMIndex.load(ref_fa)
     opt = MemOptions()
     al = Aligner(idx, opt)

@@ -444,6 +444,9 @@ def pe_end_records_g(opt: MemOptions, idx: FMIndex, name: str, seq: str,
 
 # --------------------------------------------------------- PE driver ----
 
+FLAT_PE = True  # tests toggle to force the generator path
+
+
 def align_pe_batch(aligner, b1, b2, pair_id0: int) -> str:
     """Align one paired batch; returns the SAM text.  Insert-size stats are
     estimated per chunk exactly as bwa's pestat runs per pipeline chunk."""
@@ -452,8 +455,8 @@ def align_pe_batch(aligner, b1, b2, pair_id0: int) -> str:
 
     opt = aligner.opt
     idx = aligner.idx
-    regs1 = _se_regions(aligner, b1)
-    regs2 = _se_regions(aligner, b2)
+    regs1, codes_dev1 = _se_regions(aligner, b1)
+    regs2, codes_dev2 = _se_regions(aligner, b2)
     # dedup/sort before pairing (mem_align1_core does this)
     regs1 = drive_rounds(
         [finalize.sort_dedup_patch_g(opt, idx, b1.codes[i, : b1.lens[i]],
@@ -485,23 +488,218 @@ def align_pe_batch(aligner, b1, b2, pair_id0: int) -> str:
         if gens:
             run_matesw_rounds(opt, gens, localsw_batch, aligner.mat)
     with aligner.timers.phase("SAM"):
-        gens = [
-            sam_pe_g(opt, idx, pes, pair_id0 + i,
-                     (b1.names[i], b2.names[i]),
-                     (b1.seqs[i], b2.seqs[i]),
-                     (b1.quals[i], b2.quals[i]),
-                     (b1.codes[i, : b1.lens[i]],
-                      b2.codes[i, : b2.lens[i]]),
-                     pairs[i])
-            for i in range(b1.n)
-        ]
-        lines = []
-        for recs0, recs1 in drive_rounds(gens, aligner.ga_exec):
-            for r in recs0:
-                lines.append(r.line() + "\n")
-            for r in recs1:
-                lines.append(r.line() + "\n")
-    return "".join(lines)
+        return pe_sam_text(aligner, b1, b2, pair_id0, pairs, pes,
+                           codes_dev1, codes_dev2)
+
+
+def _pe_generator_text(aligner, b1, b2, pair_id0, pairs, pes, rows,
+                       other: list) -> None:
+    """Render pairs `rows` via the sam_pe_g generator path into the
+    interleaved `other` row-text list (rows 2i / 2i+1)."""
+    from tpubwa.utils.rounds import drive_rounds
+
+    opt, idx = aligner.opt, aligner.idx
+    gens = [
+        sam_pe_g(opt, idx, pes, pair_id0 + int(i),
+                 (b1.names[i], b2.names[i]),
+                 (b1.seqs[i], b2.seqs[i]),
+                 (b1.quals[i], b2.quals[i]),
+                 (b1.codes[i, : b1.lens[i]],
+                  b2.codes[i, : b2.lens[i]]),
+                 pairs[i])
+        for i in rows
+    ]
+    for i, (recs0, recs1) in zip(rows, drive_rounds(gens, aligner.ga_exec)):
+        other[2 * i] = "".join(r.line() + "\n" for r in recs0)
+        other[2 * i + 1] = "".join(r.line() + "\n" for r in recs1)
+
+
+def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
+                codes_dev1=None, codes_dev2=None) -> str:
+    """Batched PE SAM assembly (the reference's mem_sam_pe_batch move,
+    docs-archive/ARM-BATCHED-SAM-PLAN.md:27-111 — SAM was 76% of wall in
+    the scalar path).  The common case — both ends a SINGLE region with
+    score >= T and flat-eligible geometry — runs through the columnar
+    flat_core per end plus a vectorized pair layer (pair mapq, flags,
+    RNEXT/PNEXT/TLEN); everything else (multi-region ends, unmapped ends,
+    rescue-multiplied lists) renders via the sam_pe_g generator path.
+    Byte-identical by construction (tests/test_pe_flat.py)."""
+    from tpubwa.align import flatsam
+
+    opt, idx = aligner.opt, aligner.idx
+    l_pac = idx.l_pac
+    B = b1.n
+    marked = []
+    for i, (r0, r1) in enumerate(pairs):
+        pid = pair_id0 + i
+        marked.append(
+            (finalize.mark_primary(opt, r0, (pid << 1) | 0),
+             finalize.mark_primary(opt, r1, (pid << 1) | 1)))
+
+    def geom(e):
+        lq, rl = e.qe - e.qb, e.re - e.rb
+        return (0 < lq <= flatsam.QPAD and 0 < rl <= flatsam.TWIN
+                and not (e.rb < l_pac < e.re))
+
+    flat = np.array([
+        i for i, (a0, a1) in enumerate(marked)
+        if FLAT_PE and len(a0) == 1 and len(a1) == 1
+        and a0[0].score >= opt.T and a1[0].score >= opt.T
+        and geom(a0[0]) and geom(a1[0])
+    ], dtype=np.int64)
+    other: list = [""] * (2 * B)
+
+    cores = None
+    if flat.size:
+        import jax.numpy as jnp
+
+        def cols(end):
+            e = [marked[i][end][0] for i in flat]
+            arr = lambda f: np.array(  # noqa: E731
+                [getattr(x, f) for x in e], np.int64)
+            return dict(rb=arr("rb"), re=arr("re"), qb=arr("qb"),
+                        qe=arr("qe"), score=arr("score"),
+                        truesc=arr("truesc"), aw=arr("w"),
+                        csub=arr("csub"),
+                        frac=np.array([x.frac_rep for x in e], np.float64))
+
+        c0, c1 = cols(0), cols(1)
+        if codes_dev1 is None:
+            codes_dev1 = jnp.asarray(np.asarray(b1.codes, np.int32))
+        if codes_dev2 is None:
+            codes_dev2 = jnp.asarray(np.asarray(b2.codes, np.int32))
+        L1 = np.asarray(b1.lens, np.int64)[flat]
+        L2 = np.asarray(b2.lens, np.int64)[flat]
+        core0 = flatsam.flat_core(aligner, codes_dev1, flat, L1, c0["rb"],
+                                  c0["re"], c0["qb"], c0["qe"],
+                                  c0["truesc"], c0["aw"])
+        core1 = flatsam.flat_core(aligner, codes_dev2, flat, L2, c1["rb"],
+                                  c1["re"], c1["qb"], c1["qe"],
+                                  c1["truesc"], c1["aw"])
+        okp = core0["ok"] & core1["ok"]
+        if not okp.all():
+            core0 = flatsam.core_filter(core0, okp)
+            core1 = flatsam.core_filter(core1, okp)
+            for d in (c0, c1):
+                for k in d:
+                    d[k] = d[k][okp]
+            flat = flat[okp]
+        if flat.size:
+            cores = (core0, core1, c0, c1)
+
+    rest = sorted(set(range(B)) - set(flat.tolist()))
+    if rest:
+        _pe_generator_text(aligner, b1, b2, pair_id0, pairs, pes, rest,
+                           other)
+
+    names = [x for p in zip(b1.names[:B], b2.names[:B]) for x in p]
+    seqs = [x for p in zip(b1.seqs[:B], b2.seqs[:B]) for x in p]
+    quals = [x for p in zip(b1.quals[:B], b2.quals[:B]) for x in p]
+    if cores is None:
+        return "".join(other)
+    core0, core1, c0, c1 = cores
+    N = flat.size
+
+    # ---- pair selection (mem_pair, python per pair: tiny integer math) --
+    o = np.zeros(N, np.int64)
+    subo = np.zeros(N, np.int64)
+    n_sub = np.zeros(N, np.int64)
+    for k, i in enumerate(flat):
+        o[k], subo[k], n_sub[k], _z = mem_pair(
+            opt, idx, pes, (marked[i][0], marked[i][1]),
+            pair_id0 + int(i))
+
+    s0, s1 = c0["score"], c1["score"]
+    fr0, fr1 = c0["frac"], c1["frac"]
+    score_un = s0 + s1 - opt.pen_unpaired
+    proper = (o > 0) & (o > score_un)
+    o0 = o == 0
+
+    # ---- mapq (sam_pe_g's q_pe / q_se dance, vectorized) ----
+    subo2 = np.maximum(subo, score_un)
+    q_pe = flatsam._trunci(6.02 * (o - subo2) / opt.a + 0.499)
+    q_pe = q_pe - flatsam._trunci(
+        4.343 * flatsam._log_exact(n_sub + 1) + 0.499)
+    q_pe = np.maximum(np.minimum(q_pe, 60), 0)
+    q_pe = flatsam._trunci(q_pe * (1.0 - 0.5 * (fr0 + fr1)) + 0.499)
+
+    def end_mapq(core, cc):
+        qse = flatsam.mapq_se_vec(opt, core["lq"], core["rlen"],
+                                  cc["score"], cc["frac"],
+                                  np.zeros(N, np.int64), cc["csub"])
+        cap = flatsam._trunci(
+            6.02 * (cc["score"] - cc["csub"]) / opt.a + 0.499)
+        adj = np.where(qse < q_pe, np.minimum(q_pe, qse + 40), qse)
+        adj = np.minimum(adj, cap)
+        return np.where(proper, adj, qse)
+
+    mapq0 = end_mapq(core0, c0)
+    mapq1 = end_mapq(core1, c1)
+
+    # ---- flags ----
+    rev0, rev1 = core0["rev"], core1["rev"]
+    # the unpaired-emission path still sets the proper-pair bit when the
+    # two primary hits land on one contig at a sane insert (sam_pe_g's
+    # infer_dir check)
+    rb0, rb1 = c0["rb"], c1["rb"]
+    sr0, sr1 = rb0 >= l_pac, rb1 >= l_pac
+    p2 = np.where(sr0 == sr1, rb1, 2 * l_pac - 1 - rb1)
+    d_arr = np.where(sr0 == sr1, 0, 1) ^ np.where(p2 > rb0, 0, 3)
+    dist = np.abs(p2 - rb0)
+    p_low = np.array([p.low for p in pes], np.int64)
+    p_high = np.array([p.high for p in pes], np.int64)
+    p_fail = np.array([p.failed for p in pes], bool)
+    dir_ok = (~p_fail[d_arr] & (p_low[d_arr] <= dist)
+              & (dist <= p_high[d_arr]))
+    same_rid = core0["rid"] == core1["rid"]
+    extra2 = proper | (o0 & dir_ok & same_rid)
+    flag0 = (1 | 0x40 | np.where(extra2, 2, 0) | np.where(rev0, 16, 0)
+             | np.where(rev1, 32, 0)).astype(np.int32)
+    flag1 = (1 | 0x80 | np.where(extra2, 2, 0) | np.where(rev1, 16, 0)
+             | np.where(rev0, 32, 0)).astype(np.int32)
+
+    # ---- mate fields (aln2sam's RNEXT/PNEXT/TLEN rules) ----
+    rnext0 = np.where(same_rid, -2, core1["rid"]).astype(np.int32)
+    rnext1 = np.where(same_rid, -2, core0["rid"]).astype(np.int32)
+    e0 = (core0["p1"] - 1) + np.where(rev0, core0["reflen"] - 1, 0)
+    e1 = (core1["p1"] - 1) + np.where(rev1, core1["reflen"] - 1, 0)
+    tl0 = np.where(e0 > e1, e1 - e0 - 1, e1 - e0 + 1)
+    tlen0 = np.where(same_rid, tl0, 0).astype(np.int64)
+    tlen1 = np.where(same_rid, -tl0 + np.where(e1 == e0, 2, 0),
+                     0).astype(np.int64)
+
+    # ---- interleave the two ends into one lane stream (rows 2i, 2i+1) --
+    def ilv(a0, a1):
+        out = np.empty((2 * N,) + a0.shape[1:], a0.dtype)
+        out[0::2] = a0
+        out[1::2] = a1
+        return out
+
+    core = {}
+    for k in flatsam._CORE_LANE_KEYS:
+        if k == "win_row":
+            continue
+        core[k] = ilv(core0[k], core1[k])
+    # window blocks: stack end-1's rows after end-0's
+    qh0, th0 = core0["qh"], core0["th"]
+    qh1, th1 = core1["qh"], core1["th"]
+    n0 = 0 if qh0 is None else qh0.shape[0]
+    wr1 = np.where(core1["win_row"] >= 0, core1["win_row"] + n0, -1)
+    core["win_row"] = ilv(core0["win_row"], wr1.astype(np.int32))
+    blocks_q = [x for x in (qh0, qh1) if x is not None]
+    blocks_t = [x for x in (th0, th1) if x is not None]
+    core["qh"] = np.vstack(blocks_q) if blocks_q else None
+    core["th"] = np.vstack(blocks_t) if blocks_t else None
+    core["ok"] = np.ones(2 * N, bool)
+
+    lane_b = np.empty(2 * N, np.int64)
+    lane_b[0::2] = 2 * flat
+    lane_b[1::2] = 2 * flat + 1
+    return flatsam.emit_flat(
+        aligner, names, seqs, quals, other, lane_b, core,
+        ilv(flag0, flag1), ilv(mapq0, mapq1), ilv(s0, s1),
+        ilv(rnext0, rnext1), ilv(core1["p1"], core0["p1"]),
+        ilv(tlen0, tlen1))
 
 
 class PairedCountMismatch(Exception):
@@ -553,4 +751,7 @@ def align_pe_fastq(aligner, fq1: str, fq2: str, out,
 
 
 def _se_regions(aligner, batch):
-    return aligner.regions_batch(batch)
+    """Regions + the device-resident read codes (the flat PE SAM path
+    reuses them for its window gathers)."""
+    handle = aligner.seed_batch_dispatch(batch.codes, batch.lens)
+    return aligner.regions_batch(batch, seed_handle=handle), handle[2]

@@ -104,7 +104,9 @@ def _declare(lib) -> None:
         u8p, i64p, u8p, i64p, u8p, i64p,  # name/seq/qual bufs+offs
         u8p, i64p,                      # cname buf+off
         c.c_int64,                      # N lanes
-        i32p, u8p, i32p, i64p, i32p, i32p,  # b, rev, rid, pos1, mapq, score
+        i32p, u8p, i32p,                # b, rev, flag
+        i32p, i64p, i32p, i32p,         # rid, pos1, mapq, score
+        i32p, i64p, i64p,               # rnext_rid, pnext, tlen
         i32p, i32p,                     # clip5, clip3
         i32p, i32p, c.c_int64,          # cig_ns, cig_pack, ga_k
         i32p, i32p,                     # lead_d, trail_d

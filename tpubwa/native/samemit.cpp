@@ -69,11 +69,15 @@ extern "C" int64_t sam_emit_se(
     const uint8_t* qual_buf, const int64_t* qual_off,
     // contig names
     const uint8_t* cname_buf, const int64_t* cname_off,
-    // flat lanes (ascending lane_b)
+    // flat lanes (ascending lane_b); lane_flag carries the FULL SAM flag
+    // (paired/proper/mate bits included); lane_rev only orients SEQ/QUAL
     int64_t N,
     const int32_t* lane_b, const uint8_t* lane_rev,
+    const int32_t* lane_flag,
     const int32_t* lane_rid, const int64_t* lane_pos1,
     const int32_t* lane_mapq, const int32_t* lane_score,
+    // mate fields: rnext_rid -1 -> "*", -2 -> "=", else contig id
+    const int32_t* rnext_rid, const int64_t* pnext, const int64_t* tlen,
     const int32_t* clip5, const int32_t* clip3,
     // cigar segment packs, cigar order, (len<<2 | op); [N, ga_k];
     // lead_d/trail_d: edge-deletion lengths squeezed OUT of the pack
@@ -99,7 +103,7 @@ extern "C" int64_t sam_emit_se(
         // --- QNAME, FLAG, RNAME, POS, MAPQ ---
         ob.put(name_buf + name_off[b], name_off[b + 1] - name_off[b]);
         ob.putc('\t');
-        ob.put_int(lane_rev[i] ? 16 : 0);
+        ob.put_int(lane_flag[i]);
         ob.putc('\t');
         const int32_t r = lane_rid[i];
         ob.put(cname_buf + cname_off[r], cname_off[r + 1] - cname_off[r]);
@@ -118,9 +122,17 @@ extern "C" int64_t sam_emit_se(
         }
         if (clip3[i]) { ob.put_int(clip3[i]); ob.putc('S'); }
         ob.putc('\t');
-        ob.putc('*'); ob.putc('\t');
-        ob.putc('0'); ob.putc('\t');
-        ob.putc('0'); ob.putc('\t');
+        // --- RNEXT / PNEXT / TLEN ---
+        const int32_t nr = rnext_rid[i];
+        if (nr == -1) ob.putc('*');
+        else if (nr == -2) ob.putc('=');
+        else ob.put(cname_buf + cname_off[nr],
+                    cname_off[nr + 1] - cname_off[nr]);
+        ob.putc('\t');
+        ob.put_int(pnext[i]);
+        ob.putc('\t');
+        ob.put_int(tlen[i]);
+        ob.putc('\t');
         // --- SEQ / QUAL (revcomp / reverse for reverse-strand hits) ---
         const uint8_t* sq = seq_buf + seq_off[b];
         const int64_t sl = seq_off[b + 1] - seq_off[b];
