@@ -146,8 +146,11 @@ def bench_kernel() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from tpubwa.cli import _enable_compile_cache
     from tpubwa.config import MemOptions
     from tpubwa.ops.extend import extend_batch
+
+    _enable_compile_cache()
 
     platform = jax.devices()[0].platform
     if platform == "tpu":
@@ -181,8 +184,11 @@ def bench_kernel() -> int:
     @jax.jit
     def many(q, qlen, t, tlen, mat, w, h0, eb):
         def body(c, _):
-            out = fn(q + c, qlen, t, tlen, mat, w, h0, eb, **kw)
-            return c + 0 * out.score[0], out.score[0]
+            # the carry feeds the next iteration's inputs with a real
+            # data dependency — identical pure iterations get CSE'd into
+            # ONE kernel call otherwise (observed: "0.0 ms" timings)
+            out = fn(q, qlen, t, tlen, mat, w, h0 + (c & 7), eb, **kw)
+            return c + out.score[0], out.score[0]
         _, s = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
                             length=REP)
         return s
@@ -190,15 +196,21 @@ def bench_kernel() -> int:
     _ = np.asarray(many(*args))  # compile
     dt = 1e9
     for _i in range(3):
+        # distinct h0 per timed call: the tunnel content-caches d2h
+        # results, so identical outputs would read back for free
+        a2 = list(args)
+        a2[6] = args[6] + (_i + 1)
         t0 = _t.monotonic()
-        _ = np.asarray(many(*args))
+        _ = np.asarray(many(*a2))
         dt = min(dt, _t.monotonic() - t0)
-    # d2h fixed cost: time an empty readback of the same output shape
+    # d2h fixed cost: time a fresh tiny readback
     probe = (jnp.arange(REP, dtype=jnp.int32) + args[5][0])
     _ = np.asarray(probe)
     t0 = _t.monotonic()
     _ = np.asarray(probe + 1)
     overhead = _t.monotonic() - t0
+    print(f"[bench --kernel] raw {dt*1e3:.1f} ms for {REP} reps, "
+          f"d2h overhead {overhead*1e3:.1f} ms", file=sys.stderr)
     dt = max(dt - overhead, 1e-9) / REP
 
     hw_cells = B * T * Q
