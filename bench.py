@@ -203,12 +203,16 @@ def bench_kernel() -> int:
         t0 = _t.monotonic()
         _ = np.asarray(many(*a2))
         dt = min(dt, _t.monotonic() - t0)
-    # d2h fixed cost: time a fresh tiny readback
+    # d2h fixed cost: min over a few fresh tiny readbacks (a single probe
+    # can queue behind stray device work); clamped to half the raw time
     probe = (jnp.arange(REP, dtype=jnp.int32) + args[5][0])
     _ = np.asarray(probe)
-    t0 = _t.monotonic()
-    _ = np.asarray(probe + 1)
-    overhead = _t.monotonic() - t0
+    overhead = 1e9
+    for k in range(3):
+        t0 = _t.monotonic()
+        _ = np.asarray(probe + (k + 1))
+        overhead = min(overhead, _t.monotonic() - t0)
+    overhead = min(overhead, 0.5 * dt)
     print(f"[bench --kernel] raw {dt*1e3:.1f} ms for {REP} reps, "
           f"d2h overhead {overhead*1e3:.1f} ms", file=sys.stderr)
     dt = max(dt - overhead, 1e-9) / REP
