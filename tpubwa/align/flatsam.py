@@ -1,24 +1,29 @@
-"""Flat columnar SE SAM finalization.
+"""Flat columnar SAM finalization (the batched worker_sam redesign;
+reference analog: the mem_sam_pe_batch move,
+docs-archive/ARM-BATCHED-SAM-PLAN.md — SAM assembly was 76% of wall).
 
-The VERDICT-r2 "batch SAM assembly" redesign (reference analog: the
-mem_sam_pe_batch move, docs-archive/ARM-BATCHED-SAM-PLAN.md): instead of
-driving one finalize generator per read (finalize.se_records_g), the
-common case — exactly ONE surviving alignment region — is processed as
-columnar numpy over the whole batch:
+Instead of driving one finalize generator per read, reads are processed
+as columnar numpy + a handful of device calls + one native emit:
 
-  * mapq / band-width / retry-loop control: vectorized (bit-exact
-    replicas of finalize.approx_mapq_se / infer_bw / reg2aln_g's loop)
-  * reference windows: ONE device word-gather call (ops.fm.ref_window_right)
-  * cigar DP: one bucketed global_align_cigar_batch call per retry round
-    (most reads take the exact-match shortcut and never hit the DP)
-  * NM/MD: vectorized mismatch masks for pure-M cigars; per-read
-    cigar_nm_md only for gapped cigars
-  * SAM text: one f-string per record, joined once
+  * `flat_core` — the shared per-lane pipeline (records AND their XA
+    alternates are "lanes"): device window gathers, vectorized
+    band-width/retry control (bit-exact replicas of infer_bw and
+    reg2aln_g's band-doubling loop), device-RLE'd cigars, vectorized
+    edge-deletion squeeze, NM/MD inputs from a device mismatch pack
+  * single-region reads: direct columnar emission
+  * multi-region reads (`classify_multi`): columnar sort_dedup +
+    mark_primary for the single-primary fast case — primary record with
+    XS:i:<sub> and XA:Z alternates from the same lane arrays (the
+    repeat-genome common case; tests/test_flat_multi.py)
+  * paired ends: align/pair.pe_sam_text layers pair mapq/flags/mate
+    fields over two per-end cores (tests/test_pe_flat.py)
+  * SAM text: ONE native call (native/samemit.cpp) renders every record
+    line and splices pre-rendered rows
 
-Reads with 0 or >=2 regions (or geometrically odd single regions) fall
-back to the per-read generator path — semantics are identical by
-construction and pinned by tests/test_flatsam.py (byte-equality vs the
-generator pipeline on error/indel-rich simulations).
+Everything else (patch-triggering region geometry, multiple primaries /
+supplementary alignments, cigar-pack overflow) falls back to the
+per-read generator path — semantics are identical by construction and
+pinned by byte-equality tests on error/indel/repeat-rich simulations.
 """
 from __future__ import annotations
 
@@ -199,10 +204,10 @@ def _gather_rows(qD, tD, rows):
     return qD[rows], tD[rows]
 
 
-def mapq_se_vec(opt: MemOptions, lq, rlen, score, frac, sub, csub
-                ) -> np.ndarray:
-    """finalize.approx_mapq_se vectorized for sub_n == 0 lanes (exact
-    integer/float ordering preserved)."""
+def mapq_se_vec(opt: MemOptions, lq, rlen, score, frac, sub, csub,
+                sub_n=None) -> np.ndarray:
+    """finalize.approx_mapq_se vectorized (exact integer/float ordering
+    preserved, including the sub_n penalty's pre-clamp position)."""
     a_, b_ = opt.a, opt.b
     sub_e = np.where(sub == 0, opt.min_seed_len * a_, sub)
     sub_e = np.maximum(sub_e, csub)
@@ -213,6 +218,9 @@ def mapq_se_vec(opt: MemOptions, lq, rlen, score, frac, sub, csub
     tmp = tmp * identity * identity
     mapq = _trunci(6.02 * (score - sub_e) / a_ * tmp * tmp + 0.499)
     mapq = np.where(score == 0, 0, mapq)
+    if sub_n is not None:
+        pen = _trunci(4.343 * _log_exact(sub_n + 1) + 0.499)
+        mapq = mapq - np.where(sub_n > 0, pen, 0)
     mapq = np.maximum(np.minimum(mapq, 60), 0)
     mapq = _trunci(mapq * (1.0 - frac) + 0.499)
     return np.where(sub_e >= score, 0, mapq)
@@ -405,71 +413,91 @@ def core_filter(core: dict, keep: np.ndarray) -> dict:
     return out
 
 
-def emit_flat(aligner, names, seqs, quals, other, lane_b, core: dict,
-              flag, mapq, score, rnext, pnext, tlen) -> str:
-    """Render the full output text: flat lanes (ascending lane_b, columns
-    from flat_core + the caller's flag/mapq/mate fields) interleaved with
-    pre-rendered `other` row text, in row order.  Native emitter with a
-    python fallback."""
-    text = _emit_native(aligner, names, seqs, quals, other, lane_b, core,
-                        flag, mapq, score, rnext, pnext, tlen)
+def emit_flat(aligner, names, seqs, quals, other, core: dict,
+              rec: dict) -> str:
+    """Render the full output text: flat records (per-record columns in
+    `rec`: b/lane/flag/mapq/score/xs/rnext/pnext/tlen/alt_lo/alt_hi,
+    ascending rec b; per-lane cigar/NM columns in `core` cover records
+    AND their XA alternate lanes) interleaved with pre-rendered `other`
+    row text.  Native emitter with a python fallback."""
+    text = _emit_native(aligner, names, seqs, quals, other, core, rec)
     if text is not None:
         return text
-    return _emit_py(aligner, names, seqs, quals, other, lane_b, core,
-                    flag, mapq, score, rnext, pnext, tlen)
+    return _emit_py(aligner, names, seqs, quals, other, core, rec)
 
 
-def _emit_py(aligner, names, seqs, quals, other, lane_b, core, flag,
-             mapq, score, rnext, pnext, tlen) -> str:
+def _lane_cigar(core, i):
+    return [(int(v) & 3, int(v) >> 2)
+            for v in core["segs"][i, : int(core["nseg"][i])]]
+
+
+def _lane_cigar_str(core, i):
+    cs = "".join(f"{ln}{CIGAR_OPS[op]}" for op, ln in _lane_cigar(core, i))
+    c5, c3 = int(core["clip5"][i]), int(core["clip3"][i])
+    if c5:
+        cs = f"{c5}S" + cs
+    if c3:
+        cs = cs + f"{c3}S"
+    return cs
+
+
+def _lane_nm_md(core, i, want_md: bool):
+    if core["nm_in"][i] >= 0:
+        nm_i = int(core["nm_in"][i])
+        if not want_md:
+            return nm_i, ""
+        parts = []
+        prev = 0
+        for c, t in zip(core["mm_pos"][i, :nm_i], core["mm_let"][i, :nm_i]):
+            parts.append(str(int(c) - prev))
+            parts.append(MD_CHARS[int(t)])
+            prev = int(c) + 1
+        parts.append(str(int(core["lq"][i]) - prev))
+        return nm_i, "".join(parts)
+    w_i = int(core["win_row"][i])
+    full = ([(2, int(core["lead_d"][i]))] if core["lead_d"][i] else []) \
+        + _lane_cigar(core, i) \
+        + ([(2, int(core["trail_d"][i]))] if core["trail_d"][i] else [])
+    nm_i, md_i = cigar_nm_md(core["qh"][w_i, : core["lq"][i]],
+                             core["th"][w_i, : core["rlen"][i]], full)
+    return nm_i, md_i if want_md else ""
+
+
+def _emit_py(aligner, names, seqs, quals, other, core, rec) -> str:
     idx = aligner.idx
     cnames = [c.name for c in idx.contigs]
     rows = [other[b] or "" for b in range(len(other))]
-    segs, nseg = core["segs"], core["nseg"]
-    lq, rlen = core["lq"], core["rlen"]
-    for i in range(lane_b.size):
-        b = int(lane_b[i])
-        ns_i = int(nseg[i])
-        cigar = [(int(v) & 3, int(v) >> 2) for v in segs[i, :ns_i]]
-        if core["nm_in"][i] >= 0:
-            nm_i = int(core["nm_in"][i])
-            parts = []
-            prev = 0
-            for c, t in zip(core["mm_pos"][i, :nm_i],
-                            core["mm_let"][i, :nm_i]):
-                parts.append(str(int(c) - prev))
-                parts.append(MD_CHARS[int(t)])
-                prev = int(c) + 1
-            parts.append(str(int(lq[i]) - prev))
-            md_i = "".join(parts)
-        else:
-            w_i = int(core["win_row"][i])
-            full = ([(2, int(core["lead_d"][i]))] if core["lead_d"][i]
-                    else []) + cigar + \
-                ([(2, int(core["trail_d"][i]))] if core["trail_d"][i]
-                 else [])
-            nm_i, md_i = cigar_nm_md(core["qh"][w_i, : lq[i]],
-                                     core["th"][w_i, : rlen[i]], full)
-        c5, c3 = int(core["clip5"][i]), int(core["clip3"][i])
-        cs = "".join(f"{ln}{CIGAR_OPS[op]}" for op, ln in cigar)
-        if c5:
-            cs = f"{c5}S" + cs
-        if c3:
-            cs = cs + f"{c3}S"
-        r = int(core["rid"][i])
+    for r in range(rec["b"].size):
+        b = int(rec["b"][r])
+        i = int(rec["lane"][r])
+        nm_i, md_i = _lane_nm_md(core, i, True)
+        cs = _lane_cigar_str(core, i)
+        cid = int(core["rid"][i])
         if core["rev"][i]:
             seq = seqs[b].translate(finalize.REVCOMP_TRANS)[::-1]
             qual = quals[b][::-1] if quals[b] else "*"
         else:
             seq = seqs[b]
             qual = quals[b] or "*"
-        nr = int(rnext[i])
+        nr = int(rec["rnext"][r])
         rnext_s = "*" if nr == -1 else ("=" if nr == -2 else cnames[nr])
-        rows[b] = (f"{names[b]}\t{int(flag[i])}\t{cnames[r]}\t"
-                   f"{int(core['p1'][i])}\t{int(mapq[i])}\t"
-                   f"{cs}\t{rnext_s}\t{int(pnext[i])}\t{int(tlen[i])}\t"
-                   f"{seq}\t{qual}\t"
+        xa = ""
+        if rec["alt_hi"][r] > rec["alt_lo"][r]:
+            parts = []
+            for a in range(int(rec["alt_lo"][r]), int(rec["alt_hi"][r])):
+                nm_a, _ = _lane_nm_md(core, a, False)
+                strand = "-" if core["rev"][a] else "+"
+                parts.append(f"{cnames[int(core['rid'][a])]},{strand}"
+                             f"{int(core['p1'][a])},"
+                             f"{_lane_cigar_str(core, a)},{nm_a};")
+            xa = "\tXA:Z:" + "".join(parts)
+        rows[b] = (f"{names[b]}\t{int(rec['flag'][r])}\t{cnames[cid]}\t"
+                   f"{int(core['p1'][i])}\t{int(rec['mapq'][r])}\t"
+                   f"{cs}\t{rnext_s}\t{int(rec['pnext'][r])}\t"
+                   f"{int(rec['tlen'][r])}\t{seq}\t{qual}\t"
                    f"NM:i:{int(nm_i)}\tMD:Z:{md_i}\t"
-                   f"AS:i:{int(score[i])}\tXS:i:0\n")
+                   f"AS:i:{int(rec['score'][r])}\t"
+                   f"XS:i:{int(rec['xs'][r])}{xa}\n")
     return "".join(rows)
 
 
@@ -482,11 +510,11 @@ def _concat_strs(strs):
     return b"".join(enc), off
 
 
-def _emit_native(aligner, names, seqs, quals, other, lane_b, core, flag,
-                 mapq, score, rnext, pnext, tlen) -> str | None:
+def _emit_native(aligner, names, seqs, quals, other, core, rec
+                 ) -> str | None:
     """One native call assembles every flat record's line (NM/MD, cigar
-    string, revcomp, field formatting) and splices the pre-rendered
-    non-flat rows in row order (native/samemit.cpp)."""
+    strings, XA alternates, revcomp, field formatting) and splices the
+    pre-rendered non-flat rows in row order (native/samemit.cpp)."""
     import ctypes
 
     from tpubwa.native import load_native
@@ -495,7 +523,8 @@ def _emit_native(aligner, names, seqs, quals, other, lane_b, core, flag,
     if lib is None or not hasattr(lib, "sam_emit_se"):
         return None
     B = len(other)
-    N = lane_b.size
+    NL = core["rid"].size
+    NR = rec["b"].size
     c = ctypes
     u8p = c.POINTER(c.c_uint8)
 
@@ -525,7 +554,7 @@ def _emit_native(aligner, names, seqs, quals, other, lane_b, core, flag,
         qh = np.zeros((1, QPAD), np.int8)
         th = np.zeros((1, TWIN), np.int8)
     cap = (len(other_buf) + len(name_buf) + 2 * len(seq_buf)
-           + len(qual_buf) + N * 160 + 4096)
+           + len(qual_buf) + NR * 160 + NL * 48 + 4096)
     outb = np.empty(cap, np.uint8)
     args = [
         c.c_int64(B),
@@ -534,13 +563,9 @@ def _emit_native(aligner, names, seqs, quals, other, lane_b, core, flag,
         bptr(seq_buf), A(seq_off, np.int64, i64p),
         bptr(qual_buf), A(qual_off, np.int64, i64p),
         bptr(cname_buf), A(cname_off, np.int64, i64p),
-        c.c_int64(N),
-        A(lane_b, np.int32, i32p), A(core["rev"], np.uint8, u8p),
-        A(flag, np.int32, i32p),
-        A(core["rid"], np.int32, i32p), A(core["p1"], np.int64, i64p),
-        A(mapq, np.int32, i32p), A(score, np.int32, i32p),
-        A(rnext, np.int32, i32p), A(pnext, np.int64, i64p),
-        A(tlen, np.int64, i64p),
+        c.c_int64(NL),
+        A(core["rev"], np.uint8, u8p), A(core["rid"], np.int32, i32p),
+        A(core["p1"], np.int64, i64p),
         A(core["clip5"], np.int32, i32p), A(core["clip3"], np.int32, i32p),
         A(core["nseg"], np.int32, i32p), A(core["segs"], np.int32, i32p),
         c.c_int64(GA_K),
@@ -553,6 +578,13 @@ def _emit_native(aligner, names, seqs, quals, other, lane_b, core, flag,
         A(core["win_row"], np.int32, i32p),
         A(qh, np.int8, i8p), A(th, np.int8, i8p),
         c.c_int64(QPAD), c.c_int64(TWIN),
+        c.c_int64(NR),
+        A(rec["b"], np.int32, i32p), A(rec["lane"], np.int32, i32p),
+        A(rec["flag"], np.int32, i32p), A(rec["mapq"], np.int32, i32p),
+        A(rec["score"], np.int32, i32p), A(rec["xs"], np.int32, i32p),
+        A(rec["rnext"], np.int32, i32p), A(rec["pnext"], np.int64, i64p),
+        A(rec["tlen"], np.int64, i64p),
+        A(rec["alt_lo"], np.int32, i32p), A(rec["alt_hi"], np.int32, i32p),
         outb.ctypes.data_as(u8p), c.c_int64(cap),
     ]
     ret = lib.sam_emit_se(*args)
@@ -564,11 +596,156 @@ def _emit_native(aligner, names, seqs, quals, other, lane_b, core, flag,
     return outb[:ret].tobytes().decode()
 
 
+def hash64_vec(key: np.ndarray) -> np.ndarray:
+    """finalize.hash_64 (Wang 64-bit mix), vectorized on uint64."""
+    u = np.uint64
+    k = key.astype(np.uint64)
+    k = k + ~(k << u(32))
+    k ^= k >> u(22)
+    k = k + ~(k << u(13))
+    k ^= k >> u(8)
+    k = k + (k << u(3))
+    k ^= k >> u(15)
+    k = k + ~(k << u(27))
+    k ^= k >> u(31)
+    return k
+
+
+def classify_multi(opt: MemOptions, fields: dict, bounds: np.ndarray,
+                   rows: np.ndarray, read_id0: int, l_pac: int):
+    """Columnar sort_dedup + mark_primary for reads with >= 2 regions —
+    the single-primary fast case (every non-primary region shadowed by
+    the primary: bwa's z-list stays [0]).
+
+    Exact-semantics subset: reads whose region geometry could trigger
+    sort_dedup's redundancy/patch inner loop, or that produce a second
+    primary (supplementary alignments), or whose primary/XA lanes are not
+    flat-eligible, are returned as fallback for the generator path.
+
+    Returns a dict of per-read columns over `rows`:
+      good   : handled here (record or unmapped)
+      unmap  : good reads whose primary score < T
+      prim_j : primary's region row in `fields` (valid where good)
+      sub, sub_n : mark_primary outputs for the MAPQ formula
+      alt_j  : flattened XA alternate region rows (reads in `rows` order,
+               gen_xa order within read), alt_cnt per read
+    """
+    mcg = opt.max_chain_gap
+    cnts = (bounds[rows + 1] - bounds[rows]).astype(np.int64)
+    tot = int(cnts.sum())
+    starts = bounds[rows].astype(np.int64)
+    base = np.cumsum(cnts) - cnts
+    offs_in = np.arange(tot, dtype=np.int64) - np.repeat(base, cnts)
+    reg_j = np.repeat(starts, cnts) + offs_in
+    grp = np.repeat(np.arange(rows.size, dtype=np.int64), cnts)
+    sc = fields["score"][reg_j].astype(np.int64)
+    rb = fields["rb"][reg_j].astype(np.int64)
+    re_ = fields["re"][reg_j].astype(np.int64)
+    qb = fields["qb"][reg_j].astype(np.int64)
+    qe = fields["qe"][reg_j].astype(np.int64)
+    rid = fields["rid"][reg_j].astype(np.int64)
+
+    bad = np.zeros(rows.size, bool)
+
+    # --- 1. would sort_dedup's redundancy/patch loop run? (regions
+    # adjacent in (read, re) order closer than max_chain_gap) ---
+    o1 = np.lexsort((re_, grp))
+    adj = grp[o1][1:] == grp[o1][:-1]
+    trig = adj & (rid[o1][1:] == rid[o1][:-1]) & (
+        rb[o1][1:] < re_[o1][:-1] + mcg)
+    bad[grp[o1][1:][trig]] = True
+
+    # --- 2. final sort (-score, rb, qb) + exact-duplicate drop ---
+    o2 = np.lexsort((qb, rb, -sc, grp))
+    g2, s2 = grp[o2], sc[o2]
+    r2, q2 = rb[o2], qb[o2]
+    dup = np.zeros(tot, bool)
+    dup[1:] = ((g2[1:] == g2[:-1]) & (s2[1:] == s2[:-1])
+               & (r2[1:] == r2[:-1]) & (q2[1:] == q2[:-1]))
+    keep = ~dup
+    k2 = keep.astype(np.int64)
+    csum = np.cumsum(k2)
+    first = np.zeros(tot, bool)
+    first[0] = True
+    first[1:] = g2[1:] != g2[:-1]
+    seg_base = np.maximum.accumulate(np.where(first, csum - k2, -1))
+    rank = csum - k2 - seg_base           # dedup-compacted index i
+
+    # --- 3. mark_primary order: (-score, hash_64(read_id + i)) ---
+    h = hash64_vec(read_id0 + rows[g2] + rank)
+    kidx = np.flatnonzero(keep)
+    g3s, s3s, h3s = g2[kidx], s2[kidx], h[kidx]
+    o3 = np.lexsort((h3s, -s3s, g3s))
+    gk = g3s[o3]
+    pick = kidx[o3]                        # rows of o2 order
+    j3 = reg_j[o2][pick]
+    sc3 = s2[pick]
+    qb3 = qb[o2][pick]
+    qe3 = qe[o2][pick]
+    rb3 = rb[o2][pick]
+    re3 = re_[o2][pick]
+
+    firstk = np.zeros(gk.size, bool)
+    firstk[0] = True
+    firstk[1:] = gk[1:] != gk[:-1]
+    seg_id = np.cumsum(firstk) - 1
+    prim_pos = np.flatnonzero(firstk)
+    P_sc = sc3[prim_pos][seg_id]
+    P_qb = qb3[prim_pos][seg_id]
+    P_qe = qe3[prim_pos][seg_id]
+
+    ov = np.minimum(qe3, P_qe) - np.maximum(qb3, P_qb)
+    min_l = np.minimum(qe3 - qb3, P_qe - P_qb)
+    shadowed = (~firstk) & (ov > 0) & (ov >= min_l * opt.mask_level)
+    unshadowed = (~firstk) & ~shadowed
+    bad[gk[unshadowed]] = True             # second primary -> generators
+
+    tmp = max(opt.a + opt.b, opt.o_del + opt.e_del,
+              opt.o_ins + opt.e_ins)
+    sub = np.maximum.reduceat(np.where(shadowed, sc3, 0), prim_pos)
+    sub_n = np.add.reduceat(
+        (shadowed & (P_sc - sc3 <= tmp)).astype(np.int64), prim_pos)
+
+    # --- XA eligibility (gen_xa_g: ratio filter, then count cap) ---
+    xa_flag = shadowed & (sc3 >= P_sc * opt.XA_drop_ratio)
+    cnt_xa = np.add.reduceat(xa_flag.astype(np.int64), prim_pos)
+    xa_ok = cnt_xa <= opt.max_XA_hits
+    xa_use = xa_flag & xa_ok[seg_id]
+
+    # --- flat geometry for every lane this path would emit ---
+    lq3 = qe3 - qb3
+    rl3 = re3 - rb3
+    geom = ((lq3 > 0) & (rl3 > 0) & (lq3 <= QPAD) & (rl3 <= TWIN)
+            & ~((rb3 < l_pac) & (l_pac < re3)))
+    need = firstk | xa_use
+    badgeom = need & ~geom
+    bad[gk[badgeom]] = True
+
+    good = ~bad
+    # gen_xa runs DP for alternates even when the read ends up unmapped;
+    # results are discarded, so the unmapped-fast case needs no lanes
+    unmap = good & (sc3[prim_pos] < opt.T)
+    alt_rows = np.flatnonzero(xa_use & good[gk] & ~unmap[gk])
+    alt_j = j3[alt_rows]
+    alt_cnt = np.zeros(rows.size, np.int64)
+    if alt_rows.size:
+        ids, cc = np.unique(gk[alt_rows], return_counts=True)
+        alt_cnt[ids] = cc
+    return dict(good=good, unmap=unmap, prim_j=j3[prim_pos],
+                sub=sub, sub_n=sub_n, alt_j=alt_j, alt_cnt=alt_cnt)
+
+
 def se_text_batch(aligner, batch, read_id0: int, fields: dict,
                   bounds: np.ndarray, codes_dev=None) -> str:
     """SAM text for a ReadBatch from flat region arrays (fields/bounds as
     returned by flatext.finalize_fields).  codes_dev: the device-resident
-    read batch from seeding (re-uploaded if absent)."""
+    read batch from seeding (re-uploaded if absent).
+
+    Three tiers: single-region reads (columnar), multi-region reads in
+    the single-primary fast case (columnar, with XS/XA from the same
+    flat_core lanes — the repeat-genome common case), and a generator
+    fallback for everything else; all byte-identical to the generator
+    pipeline (tests/test_flatsam.py)."""
     import jax.numpy as jnp
 
     opt: MemOptions = aligner.opt
@@ -596,80 +773,136 @@ def se_text_batch(aligner, batch, read_id0: int, fields: dict,
         flat_rows = s_rows[ok]
     else:
         flat_rows = s_rows
-    flat_set = np.zeros(B, bool)
-    flat_set[flat_rows] = True
-    complex_rows = np.flatnonzero(~unmapped & ~flat_set)
+
+    # multi-region reads: columnar dedup/mark fast case
+    multi_rows = np.flatnonzero(cnt >= 2)
+    mres = None
+    m_rec = np.array([], np.int64)     # reads emitting a flat record
+    if multi_rows.size:
+        mres = classify_multi(opt, fields, bounds, multi_rows, read_id0,
+                              l_pac)
+        m_unmap = multi_rows[mres["good"] & mres["unmap"]]
+        m_rec = multi_rows[mres["good"] & ~mres["unmap"]]
+        m_bad = multi_rows[~mres["good"]]
+        unmapped_multi = m_unmap
+    else:
+        unmapped_multi = np.array([], np.int64)
+        m_bad = np.array([], np.int64)
 
     out: list[str] = [""] * B
 
     # ---------------------------------------------------- unmapped ----
-    for b in np.flatnonzero(unmapped):
+    for b in np.concatenate([np.flatnonzero(unmapped), unmapped_multi]):
+        b = int(b)
         q = batch.quals[b] or "*"
         out[b] = (f"{batch.names[b]}\t4\t*\t0\t0\t*\t*\t0\t0\t"
                   f"{batch.seqs[b]}\t{q}\n")
 
-    # ------------------------------------------- complex: generators ----
-    if complex_rows.size:
-        gens = [
-            finalize.se_records_g(
-                opt, idx, batch.names[b], batch.seqs[b], batch.quals[b],
-                batch.codes[b, : batch.lens[b]],
-                _alnregs_for(fields, bounds, int(b)), read_id0 + int(b))
-            for b in complex_rows
-        ]
-        for b, recs in zip(complex_rows, drive_rounds(gens, aligner.ga_exec)):
-            out[b] = "".join(r.line() + "\n" for r in recs)
-
-    # ----------------------------------------------- flat columnar ----
-    N = flat_rows.size
-    if N == 0:
-        return "".join(out)
-    j = j0[flat_rows]
-    rb = fields["rb"][j].astype(np.int64)
-    re = fields["re"][j].astype(np.int64)
-    qb = fields["qb"][j].astype(np.int64)
-    qe = fields["qe"][j].astype(np.int64)
-    score = fields["score"][j].astype(np.int64)
-    truesc = fields["truesc"][j].astype(np.int64)
-    aw = fields["w"][j].astype(np.int64)
-    frac = fields["frac_rep"][j]
-    L = lens[flat_rows]
-
+    # ------------------------------------------ lanes -> flat core ----
     if codes_dev is None:
         codes_dev = jnp.asarray(np.asarray(batch.codes, np.int32))
-    core = flat_core(aligner, codes_dev, flat_rows, L, rb, re, qb, qe,
-                     truesc, aw)
+    N1 = flat_rows.size
+    if mres is not None and m_rec.size:
+        sel = mres["good"] & ~mres["unmap"]
+        pj = mres["prim_j"][sel]
+        m_sub = mres["sub"][sel]
+        m_sub_n = mres["sub_n"][sel]
+        m_alt_cnt = mres["alt_cnt"][sel]
+        alt_j = mres["alt_j"]
+    else:
+        pj = np.array([], np.int64)
+        m_sub = m_sub_n = m_alt_cnt = np.array([], np.int64)
+        alt_j = np.array([], np.int64)
+    N2 = pj.size
+    N3 = alt_j.size
+    NL = N1 + N2 + N3
+    gen_rows = [int(b) for b in m_bad]
+    if NL:
+        j_lanes = np.concatenate(
+            [j0[flat_rows], pj, alt_j]).astype(np.int64)
+        alt_read = np.repeat(m_rec, m_alt_cnt) if N3 else \
+            np.array([], np.int64)
+        b_lanes = np.concatenate([flat_rows, m_rec, alt_read]
+                                 ).astype(np.int64)
+        rb = fields["rb"][j_lanes].astype(np.int64)
+        re = fields["re"][j_lanes].astype(np.int64)
+        qb = fields["qb"][j_lanes].astype(np.int64)
+        qe = fields["qe"][j_lanes].astype(np.int64)
+        truesc = fields["truesc"][j_lanes].astype(np.int64)
+        aw = fields["w"][j_lanes].astype(np.int64)
+        core = flat_core(aligner, codes_dev, b_lanes, lens[b_lanes], rb,
+                         re, qb, qe, truesc, aw)
 
-    # cigar-pack overflow lanes: re-render via the per-read generator
-    # path (identical records by construction) and drop from the flat set
-    bad = np.flatnonzero(~core["ok"])
-    if bad.size:
+        # GA cigar-pack overflow: fail the whole READ to the generators
+        okl = core["ok"]
+        alt_base = N1 + N2 + np.concatenate(
+            [[0], np.cumsum(m_alt_cnt)])[:-1] if N2 else np.array([], int)
+        rec_ok = np.ones(N1 + N2, bool)
+        rec_ok[:N1] = okl[:N1]
+        for k in range(N2):
+            lo, hi = int(alt_base[k]), int(alt_base[k] + m_alt_cnt[k])
+            rec_ok[N1 + k] = okl[N1 + k] and bool(okl[lo:hi].all())
+        # records (ascending output row b)
+        rec_b = np.concatenate([flat_rows, m_rec])
+        rec_lane = np.arange(N1 + N2, dtype=np.int64)
+        score_l = fields["score"][j_lanes].astype(np.int64)
+        frac_l = fields["frac_rep"][j_lanes]
+        sub_col = np.concatenate([np.zeros(N1, np.int64), m_sub])
+        sub_n_col = np.concatenate([np.zeros(N1, np.int64), m_sub_n])
+        mapq = mapq_se_vec(
+            opt, core["lq"][: N1 + N2], core["rlen"][: N1 + N2],
+            score_l[: N1 + N2], frac_l[: N1 + N2], sub_col,
+            np.zeros(N1 + N2, np.int64), sub_n_col)
+        alt_lo = np.zeros(N1 + N2, np.int64)
+        alt_hi = np.zeros(N1 + N2, np.int64)
+        if N2:
+            alt_lo[N1:] = alt_base
+            alt_hi[N1:] = alt_base + m_alt_cnt
+        bad_rec = np.flatnonzero(~rec_ok)
+        gen_rows.extend(int(rec_b[r]) for r in bad_rec)
+        keep_r = rec_ok
+        order = np.argsort(rec_b[keep_r], kind="stable")
+        rec = dict(
+            b=rec_b[keep_r][order],
+            lane=rec_lane[keep_r][order],
+            flag=np.where(core["rev"][: N1 + N2][keep_r][order], 16,
+                          0).astype(np.int32),
+            mapq=mapq[keep_r][order],
+            score=score_l[: N1 + N2][keep_r][order],
+            xs=sub_col[keep_r][order],
+            rnext=np.full(int(keep_r.sum()), -1, np.int32),
+            pnext=np.zeros(int(keep_r.sum()), np.int64),
+            tlen=np.zeros(int(keep_r.sum()), np.int64),
+            alt_lo=alt_lo[keep_r][order],
+            alt_hi=alt_hi[keep_r][order])
+    else:
+        core = rec = None
+
+    # ------------------------------------------- generator fallback ----
+    flat_set = np.zeros(B, bool)
+    flat_set[flat_rows] = True
+    flat_set[m_rec] = True
+    if unmapped_multi.size:
+        flat_set[unmapped_multi] = True
+    complex_rows = np.flatnonzero(~unmapped & ~flat_set)
+    gen_rows.extend(int(b) for b in complex_rows)
+    gen_rows = sorted(set(int(b) for b in gen_rows))
+    if gen_rows:
         gens = [
             finalize.se_records_g(
                 opt, idx, batch.names[b], batch.seqs[b], batch.quals[b],
                 batch.codes[b, : batch.lens[b]],
                 _alnregs_for(fields, bounds, int(b)), read_id0 + int(b))
-            for b in flat_rows[bad]
+            for b in gen_rows
         ]
-        for b, recs in zip(flat_rows[bad],
+        for b, recs in zip(gen_rows,
                            drive_rounds(gens, aligner.ga_exec)):
             out[b] = "".join(r.line() + "\n" for r in recs)
-        keep = core["ok"]
-        core = core_filter(core, keep)
-        flat_rows = flat_rows[keep]
-        score, frac = score[keep], frac[keep]
-        N = flat_rows.size
-        if N == 0:
-            return "".join(out)
 
-    zeros = np.zeros(N, np.int64)
-    mapq = mapq_se_vec(opt, core["lq"], core["rlen"], score, frac,
-                       zeros, zeros)
-    flag = np.where(core["rev"], 16, 0).astype(np.int32)
-    rnext = np.full(N, -1, np.int32)
+    if rec is None or rec["b"].size == 0:
+        return "".join(out)
     return emit_flat(aligner, batch.names[:B], batch.seqs[:B],
-                     batch.quals[:B], out, flat_rows, core, flag, mapq,
-                     score, rnext, zeros, zeros)
+                     batch.quals[:B], out, core, rec)
 
 
 def _alnregs_for(fields: dict, bounds: np.ndarray, b: int):

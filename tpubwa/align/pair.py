@@ -695,11 +695,15 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
     lane_b = np.empty(2 * N, np.int64)
     lane_b[0::2] = 2 * flat
     lane_b[1::2] = 2 * flat + 1
-    return flatsam.emit_flat(
-        aligner, names, seqs, quals, other, lane_b, core,
-        ilv(flag0, flag1), ilv(mapq0, mapq1), ilv(s0, s1),
-        ilv(rnext0, rnext1), ilv(core1["p1"], core0["p1"]),
-        ilv(tlen0, tlen1))
+    z2 = np.zeros(2 * N, np.int64)
+    rec = dict(
+        b=lane_b, lane=np.arange(2 * N, dtype=np.int32),
+        flag=ilv(flag0, flag1), mapq=ilv(mapq0, mapq1),
+        score=ilv(s0, s1), xs=z2,
+        rnext=ilv(rnext0, rnext1), pnext=ilv(core1["p1"], core0["p1"]),
+        tlen=ilv(tlen0, tlen1),
+        alt_lo=np.zeros(2 * N, np.int32), alt_hi=np.zeros(2 * N, np.int32))
+    return flatsam.emit_flat(aligner, names, seqs, quals, other, core, rec)
 
 
 class PairedCountMismatch(Exception):

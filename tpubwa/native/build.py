@@ -103,15 +103,18 @@ def _declare(lib) -> None:
         u8p, i64p,                      # other, other_off
         u8p, i64p, u8p, i64p, u8p, i64p,  # name/seq/qual bufs+offs
         u8p, i64p,                      # cname buf+off
-        c.c_int64,                      # N lanes
-        i32p, u8p, i32p,                # b, rev, flag
-        i32p, i64p, i32p, i32p,         # rid, pos1, mapq, score
-        i32p, i64p, i64p,               # rnext_rid, pnext, tlen
+        c.c_int64,                      # NL lanes
+        u8p, i32p, i64p,                # rev, rid, pos1
         i32p, i32p,                     # clip5, clip3
         i32p, i32p, c.c_int64,          # cig_ns, cig_pack, ga_k
         i32p, i32p,                     # lead_d, trail_d
         i32p, u8p, u8p, c.c_int64,      # nm_in, mm_pos, mm_let, mm_k
         i32p, i32p,                     # lq, rlen
         i32p, i8p, i8p, c.c_int64, c.c_int64,  # win_row, qwin, twin, dims
+        c.c_int64,                      # NR records
+        i32p, i32p,                     # rec_b, rec_lane
+        i32p, i32p, i32p, i32p,         # flag, mapq, score, xs
+        i32p, i64p, i64p,               # rnext_rid, pnext, tlen
+        i32p, i32p,                     # alt_lo, alt_hi
         u8p, c.c_int64,                 # out, out_cap
     ]
