@@ -164,7 +164,10 @@ class Aligner:
                 [codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
             lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
         with self.timers.phase("SMEM"):
-            codes_dev = self._put(np.asarray(codes, np.int32), batch=True)
+            # ship codes as uint8 (values 0..4): the h2d tunnel runs
+            # ~30 MB/s, so the int32 read batch was ~170 ms of upload per
+            # 8192 reads; every device consumer casts to int32 on chip
+            codes_dev = self._put(np.asarray(codes, np.uint8), batch=True)
             lens_dev = self._put(np.asarray(lens, np.int32), batch=True)
             sm = self._collect(
                 self.di, codes_dev, lens_dev,
