@@ -49,7 +49,7 @@ def main():
     t0 = time.monotonic()
     handle = al.seed_batch_dispatch(batch.codes, batch.lens)
     t_disp = time.monotonic() - t0
-    cs, meta_dev = handle
+    cs, meta_dev = handle[0], handle[1]
     t0 = time.monotonic()
     jax.block_until_ready(meta_dev)
     jax.block_until_ready(cs.packed)

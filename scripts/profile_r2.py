@@ -32,7 +32,7 @@ def run(batch, label):
     t0 = time.monotonic()
     # --- seeding: dispatch + block (device compute) ---
     handle = al.seed_batch_dispatch(batch.codes, batch.lens)
-    cs, meta_dev = handle
+    cs, meta_dev = handle[0], handle[1]
     bsync(meta_dev)
     bsync(cs.packed)
     t1 = time.monotonic()
