@@ -139,8 +139,12 @@ def smem_round1_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         fwd = mode == FWD
         bwd = mode == BWD
 
-        qi = _take_q(q, i)
-        qj = _take_q(q, j)
+        # a lane is in exactly one mode, so ONE mask-sum lookup serves
+        # both the FRESH/FWD q[i] uses and the BWD q[j] use (the [B, L]
+        # compare+reduce is ~half the per-step vector work)
+        qs = _take_q(q, jnp.where(bwd, j, i))
+        qi = qs
+        qj = qs
 
         # one shared extension per iteration: FWD lanes append q[i]
         # (complement pick), BWD lanes prepend q[j]
@@ -262,8 +266,9 @@ def smem_through_chain(di: DeviceIndex, q: jax.Array, lens: jax.Array,
         mode, i, j = st["mode"], st["i"], st["j"]
         fwd = mode == FWD
         bwd = mode == BWD
-        qi = _take_q(qg, i)
-        qj = _take_q(qg, j)
+        qs = _take_q(qg, jnp.where(bwd, j, i))
+        qi = qs
+        qj = qs
 
         c = jnp.where(fwd, 3 - jnp.clip(qi, 0, 3), jnp.clip(qj, 0, 3))
         ek = jnp.where(bwd, st["bk"], st["k"])
