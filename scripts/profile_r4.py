@@ -192,7 +192,7 @@ def main():
     def timed_ga(*a, **k):
         t0 = time.monotonic()
         out = real_ga(*a, **k)
-        jax.block_until_ready(out[0])
+        jax.block_until_ready(out)
         acc["ga"] += time.monotonic() - t0
         acc["ga_calls"] += 1
         acc["ga_lanes"] += a[2].shape[0]
