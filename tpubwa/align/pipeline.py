@@ -618,7 +618,16 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
                     chunk_dir: str | None = None,
                     manifest: dict | None = None,
                     shard: tuple[int, int] | None = None) -> int:
-    """Pipelined SE driver over run_ordered_pool."""
+    """SE driver.
+
+    ``workers == 1`` (the default) uses a deterministic single-thread
+    software pipeline: batch N+1's device seeding is DISPATCHED before
+    batch N's host finalize runs, so the device chews the next batch
+    while the host assembles SAM — the dispatch/finish split gives
+    kt_pipeline's overlap without a second Python thread (worker threads
+    fight over the GIL during the numpy/ctypes host phases; measured
+    slower than serial).  ``workers > 1`` keeps the ordered thread pool
+    (useful when host work dominates, e.g. generator-heavy workloads)."""
     from tpubwa.io.fastq import stream_batches
 
     opt = aligner.opt
@@ -633,6 +642,60 @@ def run_se_pipeline(aligner: Aligner, fq1: str, out, workers: int = 1,
         batch, read_id0 = payload
         return aligner.align_se_text(batch, read_id0)
 
+    if workers <= 1:
+        return _run_se_pipelined(aligner, items(), out,
+                                 chunk_dir=chunk_dir, manifest=manifest,
+                                 shard=shard)
     return run_ordered_pool(items(), work, out, workers,
                             chunk_dir=chunk_dir, manifest=manifest,
                             shard=shard)
+
+
+def _run_se_pipelined(aligner: Aligner, items, out,
+                      chunk_dir: str | None = None,
+                      manifest: dict | None = None,
+                      shard: tuple[int, int] | None = None) -> int:
+    """Single-thread dispatch-ahead SE driver (see run_se_pipeline)."""
+    import os
+
+    if chunk_dir:
+        os.makedirs(chunk_dir, exist_ok=True)
+        _check_chunk_manifest(chunk_dir, manifest)
+
+    def chunk_path(seq: int) -> str:
+        return os.path.join(chunk_dir, f"chunk_{seq:06d}.sam")
+
+    n_done = 0
+    pend = None  # (gseq, batch, read_id0, seed_handle | None)
+
+    def finish(gseq, batch, read_id0, handle):
+        nonlocal n_done
+        if handle is None:  # resume: chunk already on disk
+            with open(chunk_path(gseq)) as f:
+                text = f.read()
+        else:
+            text = aligner.align_se_text(batch, read_id0,
+                                         seed_handle=handle)
+            if chunk_dir:
+                tmp = chunk_path(gseq) + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(text)
+                os.replace(tmp, chunk_path(gseq))
+        out.write(text)
+        n_done += batch.n
+        print(f"[tpu-bwa] {n_done} reads processed", file=sys.stderr)
+
+    for gseq, (payload, _n) in enumerate(items):
+        if shard is not None and gseq % shard[1] != shard[0]:
+            continue
+        batch, read_id0 = payload
+        if chunk_dir and os.path.exists(chunk_path(gseq)):
+            handle = None
+        else:
+            handle = aligner.seed_batch_dispatch(batch.codes, batch.lens)
+        if pend is not None:
+            finish(*pend)
+        pend = (gseq, batch, read_id0, handle)
+    if pend is not None:
+        finish(*pend)
+    return n_done
