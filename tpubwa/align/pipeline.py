@@ -149,10 +149,17 @@ class Aligner:
         # at its odd shape (pad reads have lens=0 -> their chain lanes are
         # DONE immediately, near-zero device cost)
         B0 = len(lens)
-        B_pad = 64
-        while B_pad < B0:
-            B_pad <<= 1
-        B_pad = min(max(B_pad, B0), max(opt.batch_reads, B0))
+        if opt.pad_tail_full and B0 <= opt.batch_reads:
+            # production policy: every batch (incl. the tail) runs at the
+            # ONE batch_reads seeding shape — a second shape family costs
+            # ~50 s of cold TPU compile; pad lanes have lens=0 and are
+            # DONE immediately (<1 s of masked device work per run)
+            B_pad = opt.batch_reads
+        else:
+            B_pad = 64
+            while B_pad < B0:
+                B_pad <<= 1
+            B_pad = min(max(B_pad, B0), max(opt.batch_reads, B0))
         if B0 < B_pad:
             pad = B_pad - B0
             codes = np.concatenate(

@@ -65,6 +65,13 @@ class MemOptions:
     max_read_len: int = 160        # static padded read length on device
     max_smems_per_read: int = 64   # static SMEM capacity per read
     max_seeds_per_read: int = 128  # static seed capacity per read
+    pad_tail_full: bool = False    # pad tail batches to batch_reads so the
+    #                                whole run uses ONE seeding shape family
+    #                                (each extra shape costs ~50 s of cold
+    #                                TPU compile; a padded tail costs <1 s
+    #                                of masked device work).  Set by the
+    #                                production presets; off by default so
+    #                                small API/test batches stay small.
 
     @property
     def mapQ_coef_fac(self) -> float:
@@ -78,13 +85,13 @@ class MemOptions:
         per TPU topology."""
         presets = {
             # host-only development (CPU, possibly a virtual device mesh)
-            "cpu-dev": dict(batch_reads=256),
+            "cpu-dev": dict(batch_reads=256, pad_tail_full=True),
             # one v5e chip
-            "v5e-1": dict(batch_reads=8192),
+            "v5e-1": dict(batch_reads=8192, pad_tail_full=True),
             # single-host 4-chip slice: reads data-parallel over ICI
-            "v5e-4": dict(batch_reads=32768, mesh_shape=(4,)),
+            "v5e-4": dict(batch_reads=32768, mesh_shape=(4,), pad_tail_full=True),
             # 16-chip pod slice
-            "v5e-16": dict(batch_reads=65536, mesh_shape=(16,)),
+            "v5e-16": dict(batch_reads=65536, mesh_shape=(16,), pad_tail_full=True),
         }
         if name not in presets:
             raise ValueError(
