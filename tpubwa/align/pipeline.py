@@ -24,6 +24,27 @@ from tpubwa.io.sam import sam_header
 from tpubwa.utils.timers import PhaseTimers
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_fn(lo: int, hi: int):
+    import jax
+
+    return jax.jit(lambda p: p[lo:hi])
+
+
+def _slice_rows(packed, bucket: int):
+    """Device slice of the dense seed-row prefix (one program per pow2
+    bucket; dispatched at seeding time so the d2h copy rides the FIFO
+    stream directly behind the seeding compute)."""
+    return _slice_fn(0, bucket)(packed)
+
+
+def _slice_rows_tail(packed, lo: int, hi: int):
+    return _slice_fn(lo, hi)(packed)
+
+
 class Aligner:
     """Holds the loaded index (host + device) and aligns read batches.
 
@@ -96,6 +117,8 @@ class Aligner:
         import threading
 
         self._ovf_lock = threading.Lock()  # -t workers share this Aligner
+        self._row_bucket = 4096  # sticky seed-row download size (pow2;
+        #                          tracks the previous batch's row count)
         platform = (mesh.devices.flat[0].platform if mesh is not None
                     else jax.devices()[0].platform)
         if platform == "tpu":
@@ -187,7 +210,21 @@ class Aligner:
                               shard_sa=opt.shard_sa)
             ovf = (sm.overflow | cs.overflow).astype(jnp.int32)
             meta_dev = jnp.concatenate([cs.n[None], cs.l_rep, ovf])
-        return cs, meta_dev, codes_dev, lens_dev
+            # enqueue the host copies NOW, before any later batch's device
+            # work: the tunnel's stream is FIFO, so a download requested at
+            # finish() time would wait behind the NEXT batch's entire
+            # seeding compute (~0.3 s).  The row prefix length isn't known
+            # until meta arrives, so download a sticky pow2 bucket (the
+            # previous batch's row count, production loads are stable);
+            # finish() tops up the rare under-guess with a blocking read.
+            bucket = min(self._row_bucket, cs.packed.shape[0])
+            rows_dev = _slice_rows(cs.packed, bucket)
+            try:
+                meta_dev.copy_to_host_async()
+                rows_dev.copy_to_host_async()
+            except Exception:
+                pass  # platforms without async d2h: finish() blocks as before
+        return cs, meta_dev, codes_dev, lens_dev, rows_dev, bucket
 
     def seed_batch_finish(self, handle):
         """Block on a dispatched seeding handle; returns
@@ -195,6 +232,7 @@ class Aligner:
         Seeds were compacted on device; only the dense prefix downloads
         (device->host bandwidth is the bottleneck)."""
         cs, meta_dev = handle[0], handle[1]
+        rows_dev, bucket = handle[4], handle[5]
         with self.timers.phase("SAL"):
             meta = np.asarray(meta_dev)
             n = int(meta[0])
@@ -215,7 +253,14 @@ class Aligner:
             while n_pad < n:
                 n_pad <<= 1
             n_pad = min(n_pad, cs.packed.shape[0])
-            rows = np.asarray(cs.packed[:n_pad])[:n]
+            if n <= bucket:
+                rows = np.asarray(rows_dev)[:n]
+            else:  # under-guessed: top up the missing tail (blocking)
+                tail = np.asarray(
+                    _slice_rows_tail(cs.packed, bucket, n_pad))
+                rows = np.concatenate(
+                    [np.asarray(rows_dev), tail])[:n]
+            self._row_bucket = n_pad
         return rows, l_rep
 
     def seed_batch(self, codes: np.ndarray, lens: np.ndarray):

@@ -30,7 +30,9 @@ from tpubwa.ops.extend import ExtendBatchResult, clamp_band_batch
 
 I32 = jnp.int32
 NEG = -(1 << 30)
-TILE_B = 256
+TILE_B = 128  # 128 beats 256 by ~11% even at uniform depth (fewer vregs
+#               in flight), and finer tiles exit earlier on mixed-depth
+#               waves (the grid runs tiles sequentially on one TensorCore)
 
 
 def _cummax_excl(g):
@@ -64,6 +66,12 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
     h0 = h0_ref[:, 0]
     jb = jax.lax.broadcasted_iota(I32, (B, Q), 1)
     q_is_n = query >= 4
+    # loop-invariant hoists: each of these would otherwise cost a full
+    # [B, Q] VPU op per target row
+    jbe = jb * e_ins                   # jb * e_ins (F candidate base)
+    jbe1 = jbe - e_ins                 # (jb - 1) * e_ins
+    qmask = jb < qlen[:, None]         # query-length band limit
+    qlast = jb == qlen[:, None] - 1    # gscore extraction column
 
     # 2-D DP state lives in VMEM scratch refs (while_loop carries of 2-D
     # vectors hit Mosaic layout-inference corner cases; refs also avoid
@@ -98,7 +106,7 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         act = alive & (i < tlen)
 
         in_band = (jb >= i - w[:, None]) & (jb < i + w[:, None] + 1) \
-            & (jb < qlen[:, None])
+            & qmask
         t_i = t_ref[pl.ds(i, 1), :][0, :]
         t_col = t_i[:, None]                    # int32: minor-dim insert ok
         is_n = q_is_n | (t_col >= 4)
@@ -110,13 +118,13 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         M = jnp.where(hd > 0, hd + s_row, 0)
         M = jnp.where(in_band, M, 0)
 
-        gate = (i > 0).astype(I32)     # scalar gate (scalar-pred where on
-        #                                2-D values trips Mosaic relayout)
-        E = (jnp.maximum(jnp.maximum(M_prev - oe_del, E_prev - e_del), 0)
-             * gate + E_prev * (1 - gate))
+        # no i==0 gate: M_prev/E_prev start at 0, so the recurrence gives
+        # max(-oe_del, -e_del, 0) = 0 = E(0, j) — the blend the gate used
+        # to compute (pinned by the extend_ref differential tests)
+        E = jnp.maximum(jnp.maximum(M_prev - oe_del, E_prev - e_del), 0)
 
-        g = jnp.maximum(M - oe_ins, 0) + jb * e_ins
-        F = jnp.maximum(_cummax_excl(g) - (jb - 1) * e_ins, 0)
+        g = jnp.maximum(M - oe_ins, 0) + jbe
+        F = jnp.maximum(_cummax_excl(g) - jbe1, 0)
         beg = jnp.maximum(i - w, 0)[:, None]
         F = jnp.where(jb > beg, F, 0)
 
@@ -132,8 +140,7 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         # gscore update when the band touches the query end:
         # H_row[qlen] = H_tail[qlen-1] (qlen >= 1 when act)
         reach_end = act & (i + w + 1 >= qlen)
-        h_last = jnp.sum(
-            jnp.where(jb == qlen[:, None] - 1, H, 0), axis=1)
+        h_last = jnp.sum(jnp.where(qlast, H, 0), axis=1)
         h_last = jnp.where(qlen > 0, h_last, boundary)
         g_upd = reach_end & (h_last >= gscore)
         gscore = jnp.where(g_upd, h_last, gscore)
