@@ -269,6 +269,51 @@ def flat_core(aligner, codes_dev, rd, L, rb, re, qb, qe, truesc, aw):
         jnp.asarray(padv(rlen)),
         jnp.asarray(padv(rev, np.bool_)),
         q_pad=QPAD, t_win=TWIN, a=opt.a, b=opt.b)
+
+    def dispatch_ga(rows, w_cap):
+        """Dispatch one _ga_rows round for lanes `rows` (band cap w_cap);
+        everything it needs is host-resident, so round 1 launches BEFORE
+        the windows pack downloads (the GA compute then overlaps the pk
+        transfer on the FIFO stream)."""
+        lqr, rlr = lq[rows], rlen[rows]
+        max_ins = _trunci((((lqr + 1) >> 1) * a_ - opt.o_ins)
+                          / opt.e_ins + 1.0)
+        max_del = _trunci((((lqr + 1) >> 1) * a_ - opt.o_del)
+                          / opt.e_del + 1.0)
+        max_gap = np.maximum(np.maximum(max_ins, max_del), 1)
+        ww = (max_gap + np.abs(rlr - lqr) + 1) >> 1
+        ww = np.minimum(ww, w_cap)
+        ww = np.maximum(ww, np.abs(rlr - lqr) + 3)
+        M = _pow2(rows.size)
+
+        def padm(a, dtype=np.int32):
+            v = np.zeros(M, dtype)
+            v[: rows.size] = a
+            return v
+
+        pk_dev = _ga_rows(
+            qDj, tDj, jnp.asarray(padm(rows)), jnp.asarray(padm(lqr)),
+            jnp.asarray(padm(rlr)), jnp.asarray(padm(ww)),
+            aligner.mat_dev, o_del=opt.o_del, e_del=opt.e_del,
+            o_ins=opt.o_ins, e_ins=opt.e_ins)
+        try:
+            pk_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return pk_dev
+
+    maxw = opt.w * 4
+    # round-1 pre-dispatch: the exact/DP split depends only on host
+    # columns, so the first GA wave launches before pk downloads
+    w_eff0 = np.minimum(w2, maxw)
+    exact0 = (lq == rlen) & (w_eff0 == 0)
+    didx0 = np.flatnonzero(~exact0)
+    ga0 = dispatch_ga(didx0, w_eff0[didx0]) if didx0.size else None
+    try:
+        pkj.copy_to_host_async()
+    except Exception:
+        pass
+
     # qDj/tDj stay on device; ONE packed compact vector downloads (the
     # d2h tunnel costs ~25 ms per blocking transfer)
     pk = np.asarray(pkj)[:N].astype(np.int64)
@@ -285,7 +330,6 @@ def flat_core(aligner, codes_dev, rd, L, rb, re, qb, qe, truesc, aw):
     nseg = np.ones(N, np.int32)
     last_sc = np.full(N, -(1 << 30), np.int64)
     active = np.arange(N)
-    maxw = opt.w * 4
     it = 0
     while active.size:
         w_eff = np.minimum(w2[active], maxw)
@@ -301,28 +345,8 @@ def flat_core(aligner, codes_dev, rd, L, rb, re, qb, qe, truesc, aw):
         didx = np.flatnonzero(~exact)
         if didx.size:
             rows = active[didx]
-            # gen_cigar_g's inner band computation
-            lqr, rlr = lq[rows], rlen[rows]
-            max_ins = _trunci((((lqr + 1) >> 1) * a_ - opt.o_ins)
-                              / opt.e_ins + 1.0)
-            max_del = _trunci((((lqr + 1) >> 1) * a_ - opt.o_del)
-                              / opt.e_del + 1.0)
-            max_gap = np.maximum(np.maximum(max_ins, max_del), 1)
-            ww = (max_gap + np.abs(rlr - lqr) + 1) >> 1
-            ww = np.minimum(ww, w_eff[didx])
-            ww = np.maximum(ww, np.abs(rlr - lqr) + 3)
-            M = _pow2(didx.size)
-
-            def padm(a, dtype=np.int32):
-                v = np.zeros(M, dtype)
-                v[: didx.size] = a
-                return v
-
-            pk_dev = _ga_rows(
-                qDj, tDj, jnp.asarray(padm(rows)), jnp.asarray(padm(lqr)),
-                jnp.asarray(padm(rlr)), jnp.asarray(padm(ww)),
-                aligner.mat_dev, o_del=opt.o_del, e_del=opt.e_del,
-                o_ins=opt.o_ins, e_ins=opt.e_ins)
+            pk_dev = (ga0 if it == 0
+                      else dispatch_ga(rows, w_eff[didx]))
             gp = np.asarray(pk_dev)[: didx.size].astype(np.int64)
             sc_it[didx] = gp[:, 0]
             gn = gp[:, 1].astype(np.int32)
@@ -355,6 +379,11 @@ def flat_core(aligner, codes_dev, rd, L, rb, re, qb, qe, truesc, aw):
         rpad = np.zeros(M, np.int32)
         rpad[: nr.size] = nr
         qhj, thj = _gather_rows(qDj, tDj, jnp.asarray(rpad))
+        try:  # overlap the two copies' fixed d2h latency
+            qhj.copy_to_host_async()
+            thj.copy_to_host_async()
+        except Exception:
+            pass
         qh = np.asarray(qhj)[: nr.size]
         th = np.asarray(thj)[: nr.size]
         win_row[nr] = np.arange(nr.size, dtype=np.int32)

@@ -83,7 +83,22 @@ class Aligner:
             if n_mesh > 1:
                 mesh = make_mesh(n_mesh)
         self.mesh = mesh
-        self.di = DeviceIndex.from_host(idx)
+        if self.opt.sa_sample_shift and self.opt.shard_sa:
+            raise ValueError("sa_sample_shift and shard_sa are exclusive "
+                             "SA serving modes")
+        self.ss = None
+        if self.opt.sa_sample_shift:
+            # sampled-SA serving: ship 1/2^shift of the SA + the rank
+            # directory; the full-resolution device SA is never built
+            # (ops.fm.build_sampled_sa / sa_lookup_sampled)
+            from tpubwa.ops.fm import build_sampled_sa
+
+            wide = idx.seq_len + 1 >= 1 << 31
+            self.ss = build_sampled_sa(idx.sa, self.opt.sa_sample_shift,
+                                       wide)
+            self.di = DeviceIndex.from_host(idx, sa_stub=True)
+        else:
+            self.di = DeviceIndex.from_host(idx)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -106,6 +121,8 @@ class Aligner:
                 self.di = rest._replace(sa=sa_dev)
             else:
                 self.di = jax.device_put(self.di, repl)
+            if self.ss is not None:
+                self.ss = jax.device_put(self.ss, repl)
             self._n_shard = mesh.devices.size
         else:
             self._dp = None
@@ -207,7 +224,8 @@ class Aligner:
             cs = self._expand(self.di, sm, max_occ=opt.max_occ,
                               per_read_cap=opt.max_seeds_per_read,
                               mesh=self.mesh if opt.shard_sa else None,
-                              shard_sa=opt.shard_sa)
+                              shard_sa=opt.shard_sa, ss=self.ss,
+                              sa_shift=opt.sa_sample_shift)
             ovf = (sm.overflow | cs.overflow).astype(jnp.int32)
             meta_dev = jnp.concatenate([cs.n[None], cs.l_rep, ovf])
             # enqueue the host copies NOW, before any later batch's device
@@ -412,7 +430,8 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
                 batch_reads_n: int | None = None, batch_reads=None,
                 preset: str | None = None, chunk_dir: str | None = None,
                 cmdline: str = "tpu-bwa mem",
-                shard: tuple[int, int] | None = None) -> int:
+                shard: tuple[int, int] | None = None,
+                sa_sample_shift: int = 0) -> int:
     """CLI entry: align FASTQ(s) against an indexed reference, write SAM."""
     import jax
 
@@ -431,6 +450,8 @@ def align_fastq(ref: str, fq1: str, fq2: str | None, out,
         opt = MemOptions.preset(name, min_seed_len=min_seed_len)
         if batch_reads is not None:
             opt.batch_reads = int(batch_reads)
+        if sa_sample_shift:
+            opt.sa_sample_shift = int(sa_sample_shift)
         try:
             aligner = Aligner(idx, opt)
         except Exception as e:

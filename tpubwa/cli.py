@@ -78,6 +78,7 @@ def cmd_mem(args) -> int:
             batch_reads=args.batch,
             preset=args.preset,
             chunk_dir=args.chunks,
+            sa_sample_shift=args.sa_shift,
             cmdline=" ".join(sys.argv),
             shard=shard,
         )
@@ -135,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["cpu-dev", "v5e-1", "v5e-4", "v5e-16"],
                     help="topology preset: batch size + device mesh "
                          "(reads data-parallel over the mesh)")
+    pm.add_argument("--sa-shift", type=int, default=0, metavar="S",
+                    help="sampled-SA serving: keep 1/2^S of the suffix "
+                         "array on device and LF-walk the rest (exact "
+                         "results; the single-chip mode for genomes "
+                         "whose full SA exceeds HBM)")
     pm.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace into DIR")
     pm.add_argument("--hosts", type=int, default=None, metavar="N",

@@ -62,6 +62,14 @@ class MemOptions:
     shard_sa: bool = False         # shard the suffix array over the mesh
     #                                (GRCh38-scale serving: the SA doesn't
     #                                fit one chip; ops.fm.sa_lookup_sharded)
+    sa_sample_shift: int = 0       # sampled-SA serving: keep every SA row
+    #                                whose suffix position % 2^shift == 0
+    #                                on device (1/2^shift the HBM) and
+    #                                LF-walk the rest (<= 2^shift-1 fused
+    #                                gathers/lookup, exact results) — the
+    #                                single-chip route for genomes whose
+    #                                full SA exceeds HBM (ops.fm
+    #                                sa_lookup_sampled).  0 = full SA.
     max_read_len: int = 160        # static padded read length on device
     max_smems_per_read: int = 64   # static SMEM capacity per read
     max_seeds_per_read: int = 128  # static seed capacity per read

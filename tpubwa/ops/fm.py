@@ -44,15 +44,16 @@ class DeviceIndex(NamedTuple):
     l_pac: jax.Array      # int32|int64 scalar
 
     @classmethod
-    def from_host(cls, idx: FMIndex, wide: bool | None = None
-                  ) -> "DeviceIndex":
+    def from_host(cls, idx: FMIndex, wide: bool | None = None,
+                  sa_stub: bool = False) -> "DeviceIndex":
         if wide is None:
             wide = idx.seq_len + 1 >= 1 << 31
         if not wide:
             # host combine of the 5-byte split storage; values < 2^31 here
             return cls(
                 cp=jnp.asarray(idx.cp, dtype=jnp.int32),
-                sa=jnp.asarray(idx.sa_ls.view(np.int32)),
+                sa=jnp.asarray(idx.sa_ls[:1].view(np.int32) if sa_stub
+                               else idx.sa_ls.view(np.int32)),
                 pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
                 L2=jnp.asarray(idx.L2, dtype=jnp.int32),
                 primary=jnp.int32(idx.primary),
@@ -73,7 +74,8 @@ class DeviceIndex(NamedTuple):
         cp_wide[:, 4:8] = idx.cp[:, 4:8].view(np.uint32)
         return cls(
             cp=jnp.asarray(cp_wide),
-            sa=jnp.asarray(idx.sa.astype(np.int64)),
+            sa=jnp.asarray(idx.sa[:1].astype(np.int64) if sa_stub
+                           else idx.sa.astype(np.int64)),
             pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
             L2=jnp.asarray(idx.L2, dtype=jnp.int64),
             primary=jnp.int64(idx.primary),
@@ -193,6 +195,149 @@ def set_intv(di: DeviceIndex, c: jax.Array) -> BiInterval:
 def sa_lookup(di: DeviceIndex, r: jax.Array) -> jax.Array:
     """Suffix-array positions for rows r (int32 [...])."""
     return di.sa[r]
+
+
+# ------------------------------------------------------- sampled SA ----
+#
+# Big-genome single-chip serving (SURVEY.md §5; VERDICT r4 next #5): a
+# full-resolution device SA is 8 B/row — 19.2 GB for the 1.2 Gbp wide
+# fixture, 2x a v5e's HBM.  bwa classic solves this with a sampled SA +
+# LF-walk (bwt_sa / bwt_invPsi); the TPU re-expression samples by SUFFIX
+# POSITION (rows r with sa[r] % 2^shift == 0) so the walk is BOUNDED at
+# 2^shift - 1 LF steps (row-index sampling, bwa's choice, has an
+# unbounded tail — unusable in a fixed-trip device loop).  Each walk step
+# is two fused gathers per lane (occ checkpoint row + sample-rank row);
+# results are EXACTLY those of the full SA (parity-pinned by
+# tests/test_sampled_sa.py) — sampling changes cost, not output.
+
+
+class SampledSA(NamedTuple):
+    """Position-sampled suffix array + rank directory.
+
+    blocks: int32|int64 [nblocks, 4] — per 64 rows: (rank_before,
+            mask_lo, mask_hi, 0); mask bit b set <=> row 64*blk + b is
+            sampled (its suffix position % 2^shift == 0)
+    vals:   int32|int64 [n_sampled] — suffix positions of sampled rows in
+            row order
+    """
+
+    blocks: jax.Array
+    vals: jax.Array
+
+
+def build_sampled_sa(sa_host: np.ndarray, shift: int,
+                     wide: bool) -> "SampledSA":
+    """Host-side construction from the full SA (one pass, vectorized)."""
+    intv = 1 << shift
+    n = sa_host.shape[0]
+    mask = (sa_host % intv) == 0
+    vals = sa_host[mask]
+    nblocks = (n + 63) // 64
+    bits = np.zeros(nblocks * 64, dtype=bool)
+    bits[:n] = mask
+    bits = bits.reshape(nblocks, 64)
+    w = bits.reshape(nblocks, 2, 32)
+    words = (w.astype(np.uint32)
+             << np.arange(32, dtype=np.uint32)[None, None, :]).sum(
+        axis=2, dtype=np.uint32)
+    cnt = bits.sum(axis=1)
+    rank_before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    dt = np.int64 if wide else np.int32
+    blocks = np.zeros((nblocks, 4), dtype=dt)
+    blocks[:, 0] = rank_before
+    blocks[:, 1] = words[:, 0].view(np.int32)
+    blocks[:, 2] = words[:, 1].view(np.int32)
+    return SampledSA(blocks=jnp.asarray(blocks),
+                     vals=jnp.asarray(vals.astype(dt)))
+
+
+def lf_step(di: DeviceIndex, r: jax.Array) -> jax.Array:
+    """One LF-mapping step: row of the suffix starting one base earlier
+    (sa[lf(r)] == sa[r] - 1; caller guarantees sa[r] > 0).  One fused cp
+    gather per lane: the checkpoint row yields both the BWT symbol at r
+    and its occ count."""
+    j = r - (r > di.primary).astype(r.dtype)
+    blk = j >> 6
+    off = (j & 63).astype(jnp.int32)
+    row = di.cp[blk]                              # [..., 8]
+    counts = row[..., 0:4]
+    if row.dtype == jnp.int64:
+        words = row[..., 4:8].astype(jnp.uint32)
+    else:
+        words = jax.lax.bitcast_convert_type(row[..., 4:8], jnp.uint32)
+
+    # BWT symbol at row r: word (off >> 4), 2-bit field (off & 15)
+    w_ids = jnp.arange(4, dtype=jnp.int32)
+    w_sel = (off[..., None] >> 4) == w_ids
+    word = jnp.sum(jnp.where(w_sel, words, jnp.uint32(0)), axis=-1)
+    c = ((word >> (2 * (off & 15)).astype(jnp.uint32)) & 3).astype(
+        jnp.int32)
+
+    # occ(c, r): checkpoint count + popcount of equal symbols before off
+    p = jnp.clip(off[..., None] - 16 * w_ids, 0, 16)
+    two_p = (2 * p).astype(jnp.uint32)
+    wmask = jnp.where(p >= 16, jnp.uint32(0xFFFFFFFF),
+                      (jnp.uint32(1) << two_p) - jnp.uint32(1))
+    pat = jnp.asarray(_EQ_PAT)
+    c_sel = jnp.arange(4, dtype=jnp.int32) == c[..., None]
+    x = words ^ jnp.sum(jnp.where(c_sel, pat, 0), axis=-1,
+                        dtype=jnp.uint32)[..., None]
+    neq_bits = (x | (x >> 1)) & jnp.uint32(0x55555555)
+    neq = jax.lax.population_count(neq_bits & wmask)
+    eq = off - jnp.sum(neq.astype(jnp.int32), axis=-1)
+    occ_c = (jnp.sum(jnp.where(c_sel, counts, 0), axis=-1)
+             + eq.astype(counts.dtype))
+    l2c = jnp.sum(jnp.where(c_sel, di.L2[0:4], 0), axis=-1)
+    return l2c + occ_c
+
+
+def sa_lookup_sampled(di: DeviceIndex, ss: SampledSA, rows: jax.Array,
+                      shift: int) -> jax.Array:
+    """Suffix positions for rows via the sampled SA (exact; <= 2^shift - 1
+    LF steps per lane, all lanes in lockstep)."""
+    intv = 1 << shift
+    n_vals = ss.vals.shape[0]
+
+    def probe(r):
+        brow = ss.blocks[r >> 6]                  # [..., 4] one gather
+        off = (r & 63).astype(jnp.int32)
+        lo = brow[..., 1].astype(jnp.uint32) & jnp.uint32(0xFFFFFFFF)
+        hi = brow[..., 2].astype(jnp.uint32) & jnp.uint32(0xFFFFFFFF)
+        in_hi = off >= 32
+        word = jnp.where(in_hi, hi, lo)
+        bit = ((word >> (off & 31).astype(jnp.uint32)) & 1).astype(
+            jnp.bool_)
+        m_lo = jnp.where(
+            off >= 32, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (off & 31).astype(jnp.uint32))
+            - jnp.uint32(1))
+        m_lo = jnp.where(in_hi, jnp.uint32(0xFFFFFFFF), m_lo)
+        m_hi = jnp.where(
+            in_hi,
+            (jnp.uint32(1)
+             << jnp.clip(off - 32, 0, 31).astype(jnp.uint32))
+            - jnp.uint32(1),
+            jnp.uint32(0))
+        rank = (brow[..., 0]
+                + jax.lax.population_count(lo & m_lo).astype(brow.dtype)
+                + jax.lax.population_count(hi & m_hi).astype(brow.dtype))
+        return bit, rank
+
+    def body(t, carry):
+        r, res, done = carry
+        bit, rank = probe(r)
+        newly = bit & ~done
+        v = ss.vals[jnp.clip(rank, 0, n_vals - 1)]
+        res = jnp.where(newly, v + t, res)
+        done = done | bit
+        r = jnp.where(done, r, lf_step(di, r))
+        return r, res, done
+
+    r0 = rows
+    res0 = jnp.zeros_like(rows)
+    done0 = jnp.zeros(rows.shape, jnp.bool_)
+    _, res, _ = jax.lax.fori_loop(0, intv, body, (r0, res0, done0))
+    return res
 
 
 def sa_lookup_sharded(mesh, sa: jax.Array, rows: jax.Array,

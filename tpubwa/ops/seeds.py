@@ -107,10 +107,11 @@ class CompactSeeds(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("max_occ", "per_read_cap",
                                              "rows_per_read", "mesh",
-                                             "shard_sa"))
+                                             "shard_sa", "sa_shift"))
 def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
               per_read_cap: int = 128, rows_per_read: int = 32,
-              mesh=None, shard_sa: bool = False) -> CompactSeeds:
+              mesh=None, shard_sa: bool = False, ss=None,
+              sa_shift: int = 0) -> CompactSeeds:
     """SMEMs -> dense [CAP, 4] seed rows (read_id, rbeg, qbeg, len) directly
     in compacted global layout (read-major, SMEM order within read).
 
@@ -161,12 +162,20 @@ def seed_rows(di: DeviceIndex, sm: Smems, *, max_occ: int = 500,
     j = t - g_beg.reshape(-1)[owner]
     sa_row = sm.k.reshape(-1)[owner] + (j * step.reshape(-1)[owner]
                                         ).astype(idt)
-    sa_row = jnp.clip(sa_row, 0, di.sa.shape[0] - 1)
-    if shard_sa:
+    if sa_shift > 0:
+        # sampled-SA serving (big genomes on one chip): bounded LF-walk,
+        # exact results — ops.fm.sa_lookup_sampled
+        from tpubwa.ops.fm import sa_lookup_sampled
+
+        sa_row = jnp.clip(sa_row, 0, 2 * di.l_pac)  # rows span [0, N]
+        rbeg = sa_lookup_sampled(di, ss, sa_row, sa_shift)
+    elif shard_sa:
         from tpubwa.ops.fm import sa_lookup_sharded
 
+        sa_row = jnp.clip(sa_row, 0, di.sa.shape[0] - 1)
         rbeg = sa_lookup_sharded(mesh, di.sa, sa_row)
     else:
+        sa_row = jnp.clip(sa_row, 0, di.sa.shape[0] - 1)
         rbeg = di.sa[sa_row]
     qbeg = sm.start.reshape(-1)[owner]
     slen = sm.end.reshape(-1)[owner] - qbeg
