@@ -335,11 +335,20 @@ def run_matesw_rounds(opt: MemOptions, gens: list, localsw_fn, mat,
 def sam_pe_g(opt: MemOptions, idx: FMIndex, pes: list[PEStat], pair_id: int,
              names: tuple[str, str], seqs: tuple[str, str],
              quals: tuple[str, str], queries: tuple[np.ndarray, np.ndarray],
-             regs: tuple[list[AlnReg], list[AlnReg]]):
+             regs: tuple[list[AlnReg], list[AlnReg]], marked=None):
     """mem_sam_pe minus the rescue step (rescue runs batched beforehand).
-    Generator yielding GAJob (CIGAR DP fills run batched by the driver)."""
-    a = [finalize.mark_primary(opt, regs[0], (pair_id << 1) | 0),
-         finalize.mark_primary(opt, regs[1], (pair_id << 1) | 1)]
+    Generator yielding GAJob (CIGAR DP fills run batched by the driver).
+
+    ``marked``: pre-marked lists from the batched driver.  bwa marks
+    exactly ONCE per end (mem_sam_pe); re-marking an already-sorted list
+    re-hashes by the new positions and can flip equal-score tie-breaks
+    and sub_n counts — the flat/generator byte-parity tests caught the
+    double-marking skew in round 5."""
+    if marked is not None:
+        a = list(marked)
+    else:
+        a = [finalize.mark_primary(opt, regs[0], (pair_id << 1) | 0),
+             finalize.mark_primary(opt, regs[1], (pair_id << 1) | 1)]
     extra_flag = 1
     o = 0
     if a[0] and a[1]:
@@ -493,7 +502,7 @@ def align_pe_batch(aligner, b1, b2, pair_id0: int) -> str:
 
 
 def _pe_generator_text(aligner, b1, b2, pair_id0, pairs, pes, rows,
-                       other: list) -> None:
+                       other: list, marked=None) -> None:
     """Render pairs `rows` via the sam_pe_g generator path into the
     interleaved `other` row-text list (rows 2i / 2i+1)."""
     from tpubwa.utils.rounds import drive_rounds
@@ -506,7 +515,8 @@ def _pe_generator_text(aligner, b1, b2, pair_id0, pairs, pes, rows,
                  (b1.quals[i], b2.quals[i]),
                  (b1.codes[i, : b1.lens[i]],
                   b2.codes[i, : b2.lens[i]]),
-                 pairs[i])
+                 pairs[i],
+                 marked=None if marked is None else marked[i])
         for i in rows
     ]
     for i, (recs0, recs1) in zip(rows, drive_rounds(gens, aligner.ga_exec)):
@@ -518,12 +528,19 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
                 codes_dev1=None, codes_dev2=None) -> str:
     """Batched PE SAM assembly (the reference's mem_sam_pe_batch move,
     docs-archive/ARM-BATCHED-SAM-PLAN.md:27-111 — SAM was 76% of wall in
-    the scalar path).  The common case — both ends a SINGLE region with
-    score >= T and flat-eligible geometry — runs through the columnar
-    flat_core per end plus a vectorized pair layer (pair mapq, flags,
-    RNEXT/PNEXT/TLEN); everything else (multi-region ends, unmapped ends,
-    rescue-multiplied lists) renders via the sam_pe_g generator path.
-    Byte-identical by construction (tests/test_pe_flat.py)."""
+    the scalar path).
+
+    Flat-eligible pairs — each end in the single-primary fast case (no
+    second primary, primary score >= T, every emitted lane flat-eligible
+    geometry) — run columnar: mem_pair picks the emitted region per end
+    (z-indices, possibly a shadowed region), XS is max(sub, csub) of the
+    CHOSEN region (r4's XS:i:0 hardcode is gone — rescue-inserted and
+    multi-region ends now stay flat), XA alternates render as extra
+    flat_core lanes exactly like the SE multi-region path.  Everything
+    else (second primaries/supplementary, sub-T primaries, non-flat
+    geometry) renders via the sam_pe_g generator path.  Byte-identical by
+    construction (tests/test_pe_flat.py incl. the repeat-genome fixture).
+    """
     from tpubwa.align import flatsam
 
     opt, idx = aligner.opt, aligner.idx
@@ -541,79 +558,130 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
         return (0 < lq <= flatsam.QPAD and 0 < rl <= flatsam.TWIN
                 and not (e.rb < l_pac < e.re))
 
-    flat = np.array([
-        i for i, (a0, a1) in enumerate(marked)
-        if FLAT_PE and len(a0) == 1 and len(a1) == 1
-        and a0[0].score >= opt.T and a1[0].score >= opt.T
-        and geom(a0[0]) and geom(a1[0])
-    ], dtype=np.int64)
+    # ---- per-pair flat eligibility + pair scoring + lane selection ----
+    sel = []
+    for i, (a0, a1) in enumerate(marked):
+        if not FLAT_PE or not a0 or not a1:
+            continue
+        if (any(p.secondary < 0 for p in a0[1:])
+                or any(p.secondary < 0 for p in a1[1:])):
+            continue  # second primary (supplementary path) -> generator
+        if a0[0].score < opt.T or a1[0].score < opt.T:
+            continue
+        o, subo, n_sub, z = mem_pair(opt, idx, pes, (a0, a1),
+                                     pair_id0 + i)
+        score_un = a0[0].score + a1[0].score - opt.pen_unpaired
+        proper = o > 0 and o > score_un
+        info = dict(i=i, o=o, subo=subo, n_sub=n_sub, proper=proper,
+                    score_un=score_un,
+                    pfrac=a0[0].frac_rep + a1[0].frac_rep)
+        bad = False
+        for end, a in ((0, a0), (1, a1)):
+            k = z[end] if proper else 0
+            c = a[k]
+            if not geom(c):
+                bad = True
+                break
+            # XA group k (gen_xa_g: ratio filter, then count cap)
+            thr = a[k].score * opt.XA_drop_ratio
+            alt_j = [j for j, p in enumerate(a)
+                     if p.secondary_all == k and p.score >= thr]
+            if len(alt_j) > opt.max_XA_hits:
+                alt_j = []
+            if any(not geom(a[j]) for j in alt_j):
+                bad = True
+                break
+            sub_eff = a[c.secondary].score if c.secondary >= 0 else c.sub
+            info[f"c{end}"] = c
+            info[f"alts{end}"] = [a[j] for j in alt_j]
+            info[f"sub{end}"] = sub_eff
+            info[f"subn{end}"] = c.sub_n
+        if not bad:
+            sel.append(info)
+
     other: list = [""] * (2 * B)
+    flat = np.array([s["i"] for s in sel], dtype=np.int64)
 
     cores = None
     if flat.size:
         import jax.numpy as jnp
 
-        def cols(end):
-            e = [marked[i][end][0] for i in flat]
-            arr = lambda f: np.array(  # noqa: E731
-                [getattr(x, f) for x in e], np.int64)
+        N = flat.size
+
+        def reg_cols(regs):
+            arr = lambda f, d=np.int64: np.array(  # noqa: E731
+                [getattr(x, f) for x in regs], d)
             return dict(rb=arr("rb"), re=arr("re"), qb=arr("qb"),
                         qe=arr("qe"), score=arr("score"),
                         truesc=arr("truesc"), aw=arr("w"),
                         csub=arr("csub"),
-                        frac=np.array([x.frac_rep for x in e], np.float64))
+                        frac=np.array([x.frac_rep for x in regs],
+                                      np.float64))
 
-        c0, c1 = cols(0), cols(1)
+        def end_cols(end):
+            c = reg_cols([s[f"c{end}"] for s in sel])
+            c["sub"] = np.array([s[f"sub{end}"] for s in sel], np.int64)
+            c["sub_n"] = np.array([s[f"subn{end}"] for s in sel],
+                                  np.int64)
+            c["acnt"] = np.array([len(s[f"alts{end}"]) for s in sel],
+                                 np.int64)
+            alts = [x for s in sel for x in s[f"alts{end}"]]
+            return c, (reg_cols(alts) if alts else None), len(alts)
+
+        c0, alt0, A0 = end_cols(0)
+        c1, alt1, A1 = end_cols(1)
         if codes_dev1 is None:
             codes_dev1 = jnp.asarray(np.asarray(b1.codes, np.int32))
         if codes_dev2 is None:
             codes_dev2 = jnp.asarray(np.asarray(b2.codes, np.int32))
-        L1 = np.asarray(b1.lens, np.int64)[flat]
-        L2 = np.asarray(b2.lens, np.int64)[flat]
-        core0 = flatsam.flat_core(aligner, codes_dev1, flat, L1, c0["rb"],
-                                  c0["re"], c0["qb"], c0["qe"],
-                                  c0["truesc"], c0["aw"])
-        core1 = flatsam.flat_core(aligner, codes_dev2, flat, L2, c1["rb"],
-                                  c1["re"], c1["qb"], c1["qe"],
-                                  c1["truesc"], c1["aw"])
-        okp = core0["ok"] & core1["ok"]
-        if not okp.all():
-            core0 = flatsam.core_filter(core0, okp)
-            core1 = flatsam.core_filter(core1, okp)
-            for d in (c0, c1):
-                for k in d:
-                    d[k] = d[k][okp]
-            flat = flat[okp]
-        if flat.size:
-            cores = (core0, core1, c0, c1)
 
-    rest = sorted(set(range(B)) - set(flat.tolist()))
+        def run_core(codes_dev, lens_b, cc, alt, na):
+            rd = np.concatenate([flat, np.repeat(flat, cc["acnt"])])
+            L = np.asarray(lens_b, np.int64)[rd]
+            cat = lambda f: (np.concatenate([cc[f], alt[f]])  # noqa: E731
+                             if alt is not None else cc[f])
+            return flatsam.flat_core(
+                aligner, codes_dev, rd, L, cat("rb"), cat("re"),
+                cat("qb"), cat("qe"), cat("truesc"), cat("aw"))
+
+        core0 = run_core(codes_dev1, b1.lens, c0, alt0, A0)
+        core1 = run_core(codes_dev2, b2.lens, c1, alt1, A1)
+
+        # pair ok = every lane (both primaries + all alternates) packed
+        off0 = np.cumsum(c0["acnt"]) - c0["acnt"]
+        off1 = np.cumsum(c1["acnt"]) - c1["acnt"]
+        okp = core0["ok"][:N] & core1["ok"][:N]
+        for j in range(N):
+            a_ok = core0["ok"][N + off0[j]: N + off0[j] + c0["acnt"][j]]
+            b_ok = core1["ok"][N + off1[j]: N + off1[j] + c1["acnt"][j]]
+            okp[j] = okp[j] and bool(a_ok.all()) and bool(b_ok.all())
+        cores = (core0, core1, c0, c1, okp, off0, off1, A0, A1)
+
+    keep_i = (set(flat[cores[4]].tolist()) if cores is not None
+              else set())
+    rest = sorted(set(range(B)) - keep_i)
     if rest:
         _pe_generator_text(aligner, b1, b2, pair_id0, pairs, pes, rest,
-                           other)
+                           other, marked=marked)
 
     names = [x for p in zip(b1.names[:B], b2.names[:B]) for x in p]
     seqs = [x for p in zip(b1.seqs[:B], b2.seqs[:B]) for x in p]
     quals = [x for p in zip(b1.quals[:B], b2.quals[:B]) for x in p]
-    if cores is None:
+    if cores is None or not keep_i:
         return "".join(other)
-    core0, core1, c0, c1 = cores
+    core0, core1, c0, c1, okp, off0, off1, A0, A1 = cores
     N = flat.size
 
-    # ---- pair selection (mem_pair, python per pair: tiny integer math) --
-    o = np.zeros(N, np.int64)
-    subo = np.zeros(N, np.int64)
-    n_sub = np.zeros(N, np.int64)
-    for k, i in enumerate(flat):
-        o[k], subo[k], n_sub[k], _z = mem_pair(
-            opt, idx, pes, (marked[i][0], marked[i][1]),
-            pair_id0 + int(i))
+    # ---- pair scores (precomputed during selection) ----
+    o = np.array([s["o"] for s in sel], np.int64)
+    subo = np.array([s["subo"] for s in sel], np.int64)
+    n_sub = np.array([s["n_sub"] for s in sel], np.int64)
+    proper = np.array([s["proper"] for s in sel], bool)
+    score_un = np.array([s["score_un"] for s in sel], np.int64)
+    pfrac = np.array([s["pfrac"] for s in sel], np.float64)
+    o0 = o == 0
 
     s0, s1 = c0["score"], c1["score"]
-    fr0, fr1 = c0["frac"], c1["frac"]
-    score_un = s0 + s1 - opt.pen_unpaired
-    proper = (o > 0) & (o > score_un)
-    o0 = o == 0
 
     # ---- mapq (sam_pe_g's q_pe / q_se dance, vectorized) ----
     subo2 = np.maximum(subo, score_un)
@@ -621,12 +689,13 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
     q_pe = q_pe - flatsam._trunci(
         4.343 * flatsam._log_exact(n_sub + 1) + 0.499)
     q_pe = np.maximum(np.minimum(q_pe, 60), 0)
-    q_pe = flatsam._trunci(q_pe * (1.0 - 0.5 * (fr0 + fr1)) + 0.499)
+    # q_pe's repeat correction uses the PRIMARY ends' frac_rep
+    q_pe = flatsam._trunci(q_pe * (1.0 - 0.5 * pfrac) + 0.499)
 
     def end_mapq(core, cc):
-        qse = flatsam.mapq_se_vec(opt, core["lq"], core["rlen"],
+        qse = flatsam.mapq_se_vec(opt, core["lq"][:N], core["rlen"][:N],
                                   cc["score"], cc["frac"],
-                                  np.zeros(N, np.int64), cc["csub"])
+                                  cc["sub"], cc["csub"], cc["sub_n"])
         cap = flatsam._trunci(
             6.02 * (cc["score"] - cc["csub"]) / opt.a + 0.499)
         adj = np.where(qse < q_pe, np.minimum(q_pe, qse + 40), qse)
@@ -637,10 +706,10 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
     mapq1 = end_mapq(core1, c1)
 
     # ---- flags ----
-    rev0, rev1 = core0["rev"], core1["rev"]
+    rev0, rev1 = core0["rev"][:N], core1["rev"][:N]
     # the unpaired-emission path still sets the proper-pair bit when the
     # two primary hits land on one contig at a sane insert (sam_pe_g's
-    # infer_dir check)
+    # infer_dir check; in the unpaired branch chosen == primary)
     rb0, rb1 = c0["rb"], c1["rb"]
     sr0, sr1 = rb0 >= l_pac, rb1 >= l_pac
     p2 = np.where(sr0 == sr1, rb1, 2 * l_pac - 1 - rb1)
@@ -651,7 +720,7 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
     p_fail = np.array([p.failed for p in pes], bool)
     dir_ok = (~p_fail[d_arr] & (p_low[d_arr] <= dist)
               & (dist <= p_high[d_arr]))
-    same_rid = core0["rid"] == core1["rid"]
+    same_rid = core0["rid"][:N] == core1["rid"][:N]
     extra2 = proper | (o0 & dir_ok & same_rid)
     flag0 = (1 | 0x40 | np.where(extra2, 2, 0) | np.where(rev0, 16, 0)
              | np.where(rev1, 32, 0)).astype(np.int32)
@@ -659,51 +728,72 @@ def pe_sam_text(aligner, b1, b2, pair_id0: int, pairs, pes,
              | np.where(rev0, 32, 0)).astype(np.int32)
 
     # ---- mate fields (aln2sam's RNEXT/PNEXT/TLEN rules) ----
-    rnext0 = np.where(same_rid, -2, core1["rid"]).astype(np.int32)
-    rnext1 = np.where(same_rid, -2, core0["rid"]).astype(np.int32)
-    e0 = (core0["p1"] - 1) + np.where(rev0, core0["reflen"] - 1, 0)
-    e1 = (core1["p1"] - 1) + np.where(rev1, core1["reflen"] - 1, 0)
+    rnext0 = np.where(same_rid, -2, core1["rid"][:N]).astype(np.int32)
+    rnext1 = np.where(same_rid, -2, core0["rid"][:N]).astype(np.int32)
+    e0 = (core0["p1"][:N] - 1) + np.where(rev0, core0["reflen"][:N] - 1,
+                                          0)
+    e1 = (core1["p1"][:N] - 1) + np.where(rev1, core1["reflen"][:N] - 1,
+                                          0)
     tl0 = np.where(e0 > e1, e1 - e0 - 1, e1 - e0 + 1)
     tlen0 = np.where(same_rid, tl0, 0).astype(np.int64)
     tlen1 = np.where(same_rid, -tl0 + np.where(e1 == e0, 2, 0),
                      0).astype(np.int64)
 
-    # ---- interleave the two ends into one lane stream (rows 2i, 2i+1) --
-    def ilv(a0, a1):
-        out = np.empty((2 * N,) + a0.shape[1:], a0.dtype)
-        out[0::2] = a0
-        out[1::2] = a1
+    # ---- merge lane blocks: [2N interleaved primaries][alts0][alts1] --
+    def ilv(a0_, a1_):
+        out = np.empty((2 * N,) + a0_.shape[1:], a0_.dtype)
+        out[0::2] = a0_
+        out[1::2] = a1_
         return out
 
     core = {}
     for k in flatsam._CORE_LANE_KEYS:
         if k == "win_row":
             continue
-        core[k] = ilv(core0[k], core1[k])
+        core[k] = np.concatenate([ilv(core0[k][:N], core1[k][:N]),
+                                  core0[k][N:], core1[k][N:]])
     # window blocks: stack end-1's rows after end-0's
     qh0, th0 = core0["qh"], core0["th"]
     qh1, th1 = core1["qh"], core1["th"]
     n0 = 0 if qh0 is None else qh0.shape[0]
-    wr1 = np.where(core1["win_row"] >= 0, core1["win_row"] + n0, -1)
-    core["win_row"] = ilv(core0["win_row"], wr1.astype(np.int32))
+    wr1 = np.where(core1["win_row"] >= 0, core1["win_row"] + n0, -1
+                   ).astype(np.int32)
+    core["win_row"] = np.concatenate(
+        [ilv(core0["win_row"][:N], wr1[:N]), core0["win_row"][N:],
+         wr1[N:]])
     blocks_q = [x for x in (qh0, qh1) if x is not None]
     blocks_t = [x for x in (th0, th1) if x is not None]
     core["qh"] = np.vstack(blocks_q) if blocks_q else None
     core["th"] = np.vstack(blocks_t) if blocks_t else None
-    core["ok"] = np.ones(2 * N, bool)
+    core["ok"] = np.ones(core["p1"].shape[0], bool)
 
     lane_b = np.empty(2 * N, np.int64)
     lane_b[0::2] = 2 * flat
     lane_b[1::2] = 2 * flat + 1
-    z2 = np.zeros(2 * N, np.int64)
+    # XS of the chosen region: max(mark/pair sub, csub) — real values now
+    # (the r4 XS:i:0 shortcut only held while rescue-touched ends were
+    # excluded from the flat path)
+    xs0 = np.maximum(c0["sub"], c0["csub"])
+    xs1 = np.maximum(c1["sub"], c1["csub"])
+    # alt lane ranges in merged lane space
+    alt_lo0 = 2 * N + off0
+    alt_lo1 = 2 * N + A0 + off1
     rec = dict(
-        b=lane_b, lane=np.arange(2 * N, dtype=np.int32),
+        b=lane_b, lane=ilv(np.arange(0, 2 * N, 2), np.arange(1, 2 * N, 2)),
         flag=ilv(flag0, flag1), mapq=ilv(mapq0, mapq1),
-        score=ilv(s0, s1), xs=z2,
-        rnext=ilv(rnext0, rnext1), pnext=ilv(core1["p1"], core0["p1"]),
+        score=ilv(s0, s1), xs=ilv(xs0, xs1),
+        rnext=ilv(rnext0, rnext1),
+        pnext=ilv(core1["p1"][:N], core0["p1"][:N]),
         tlen=ilv(tlen0, tlen1),
-        alt_lo=np.zeros(2 * N, np.int32), alt_hi=np.zeros(2 * N, np.int32))
-    return flatsam.emit_flat(aligner, names, seqs, quals, other, core, rec)
+        alt_lo=ilv(alt_lo0, alt_lo1).astype(np.int32),
+        alt_hi=ilv(alt_lo0 + c0["acnt"], alt_lo1 + c1["acnt"]
+                   ).astype(np.int32))
+    if not okp.all():  # drop failed pairs' records (lanes stay, unused)
+        keep2 = np.repeat(okp, 2)
+        rec = {k: v[keep2] for k, v in rec.items()}
+    return flatsam.emit_flat(aligner, names, seqs, quals, other, core,
+                             rec)
+
 
 
 class PairedCountMismatch(Exception):
