@@ -617,6 +617,8 @@ def _emit_native(aligner, names, seqs, quals, other, core, rec
         outb.ctypes.data_as(u8p), c.c_int64(cap),
     ]
     ret = lib.sam_emit_se(*args)
+    if ret < 0:   # MD buffer overflow sentinel -> Python emitter
+        return None
     if ret > cap:
         outb = np.empty(ret, np.uint8)
         args[-2] = outb.ctypes.data_as(u8p)

@@ -70,8 +70,16 @@ class Aligner:
         self.opt = opt or MemOptions()
         if idx.seq_len + 1 >= 1 << 31:
             # wide (GRCh38-scale) index: device intervals/SA are int64
-            # (ops/fm.py DeviceIndex wide layout) — needs jax x64
-            jax.config.update("jax_enable_x64", True)
+            # (ops/fm.py DeviceIndex wide layout) — needs jax x64.
+            # PROCESS-GLOBAL side effect (ADVICE r4): x64 changes jax's
+            # dtype promotion for everything else in this process and
+            # forces recompiles of narrow-index programs — warn when
+            # flipping it on behalf of the caller.
+            if not jax.config.jax_enable_x64:
+                print("[tpu-bwa] note: enabling jax x64 globally for the "
+                      "wide (>=2^31) index — affects dtype promotion "
+                      "process-wide", file=sys.stderr)
+                jax.config.update("jax_enable_x64", True)
         self.mat = self.opt.score_matrix()
         self.contig_offsets = np.array([c.offset for c in idx.contigs],
                                        dtype=np.int64)
@@ -86,6 +94,11 @@ class Aligner:
         if self.opt.sa_sample_shift and self.opt.shard_sa:
             raise ValueError("sa_sample_shift and shard_sa are exclusive "
                              "SA serving modes")
+        if self.opt.shard_sa and mesh is None:
+            # ADVICE r4: without this, mesh=None flows into
+            # sa_lookup_sharded and crashes opaquely deep inside jit
+            raise ValueError("shard_sa requires a device mesh "
+                             "(set opt.mesh_shape or pass mesh=)")
         self.ss = None
         if self.opt.sa_sample_shift:
             # sampled-SA serving: ship 1/2^shift of the SA + the rank

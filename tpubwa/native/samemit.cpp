@@ -265,11 +265,14 @@ extern "C" int64_t sam_emit_se(
         uint8_t mdbuf[4096];
         Buf md{mdbuf, (int64_t)sizeof(mdbuf), 0};
         const int64_t nm = lane_nm_md(L, i, &md);
+        if (md.n > md.cap) return -1;  // MD overflow: silent truncation
+        //   would corrupt output — sentinel makes the caller fall back
+        //   to the Python emitter (ADVICE r4)
         ob.putc('\t');
         ob.put((const uint8_t*)"NM:i:", 5);
         ob.put_int(nm);
         ob.put((const uint8_t*)"\tMD:Z:", 6);
-        ob.put(md.p, md.n < md.cap ? md.n : md.cap);
+        ob.put(md.p, md.n);
         ob.put((const uint8_t*)"\tAS:i:", 6);
         ob.put_int(rec_score[r]);
         ob.put((const uint8_t*)"\tXS:i:", 6);
