@@ -276,16 +276,20 @@ def main() -> int:
     print(f"[bench] warmup (compile) {time.monotonic()-t:.1f}s",
           file=sys.stderr)
 
-    # best of two full passes: the shared chip's load varies 2-3x run to
-    # run; both passes are complete end-to-end alignments of all reads
-    n_pass = int(os.environ.get("TPUBWA_BENCH_PASSES", "2"))
-    dt = 1e18
+    # MEDIAN of three full passes (VERDICT r4 weak #8: the shared chip's
+    # load varies 2-3x run to run; best-of-2 made <1.3x deltas
+    # indistinguishable from noise); every pass is a complete end-to-end
+    # alignment of all reads
+    n_pass = int(os.environ.get("TPUBWA_BENCH_PASSES", "3"))
+    times = []
     for _p in range(n_pass):
         sink = _NullOut()
         t0 = time.monotonic()
         align_fastq(ref_fa, fq1, fq2, sink, threads=threads,
                     batch_reads=batch_n)
-        dt = min(dt, time.monotonic() - t0)
+        times.append(time.monotonic() - t0)
+    times.sort()
+    dt = times[len(times) // 2] if n_pass >= 3 else times[0]
 
     rps = n_reads / dt
     result = {
