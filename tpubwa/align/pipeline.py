@@ -107,8 +107,8 @@ class Aligner:
             from tpubwa.ops.fm import build_sampled_sa
 
             wide = idx.seq_len + 1 >= 1 << 31
-            self.ss = build_sampled_sa(idx.sa, self.opt.sa_sample_shift,
-                                       wide)
+            self.ss = build_sampled_sa(None, self.opt.sa_sample_shift,
+                                       wide, idx=idx)
             self.di = DeviceIndex.from_host(idx, sa_stub=True)
         else:
             self.di = DeviceIndex.from_host(idx)

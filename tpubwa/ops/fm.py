@@ -72,10 +72,12 @@ class DeviceIndex(NamedTuple):
             counts |= idx.cp_hi.astype(np.int64) << 32
         cp_wide[:, 0:4] = counts
         cp_wide[:, 4:8] = idx.cp[:, 4:8].view(np.uint32)
+        sa64 = (np.asarray([int(idx.sa_ls[0]) | (int(idx.sa_ms[0]) << 32)],
+                           np.int64) if sa_stub
+                else idx.sa.astype(np.int64))
         return cls(
             cp=jnp.asarray(cp_wide),
-            sa=jnp.asarray(idx.sa[:1].astype(np.int64) if sa_stub
-                           else idx.sa.astype(np.int64)),
+            sa=jnp.asarray(sa64),
             pac_words=jnp.asarray(idx.pac_words, dtype=jnp.uint32),
             L2=jnp.asarray(idx.L2, dtype=jnp.int64),
             primary=jnp.int64(idx.primary),
@@ -225,30 +227,57 @@ class SampledSA(NamedTuple):
     vals: jax.Array
 
 
-def build_sampled_sa(sa_host: np.ndarray, shift: int,
-                     wide: bool) -> "SampledSA":
-    """Host-side construction from the full SA (one pass, vectorized)."""
+def build_sampled_sa(sa_host, shift: int, wide: bool,
+                     idx=None) -> "SampledSA":
+    """Host-side construction, CHUNKED: a Gbp-scale SA is ~19 GB as
+    int64, and the naive vectorized build held ~60 GB of transients
+    (measured 30+ min of page-fault-bound numpy on the 1.2 Gbp index).
+    Chunks of 64M rows keep the working set ~1 GB.
+
+    Pass ``idx`` (FMIndex) instead of ``sa_host`` to avoid materializing
+    the full int64 SA at all — chunks combine the 5-byte split storage
+    (sa_ls/sa_ms) on the fly."""
     intv = 1 << shift
-    n = sa_host.shape[0]
-    mask = (sa_host % intv) == 0
-    vals = sa_host[mask]
+    if idx is not None:
+        n = idx.sa_ls.shape[0]
+
+        def chunk(lo, hi):
+            return (idx.sa_ls[lo:hi].astype(np.int64)
+                    | (idx.sa_ms[lo:hi].astype(np.int64) << 32))
+    else:
+        n = sa_host.shape[0]
+
+        def chunk(lo, hi):
+            return sa_host[lo:hi]
+
     nblocks = (n + 63) // 64
-    bits = np.zeros(nblocks * 64, dtype=bool)
-    bits[:n] = mask
-    bits = bits.reshape(nblocks, 64)
-    w = bits.reshape(nblocks, 2, 32)
-    words = (w.astype(np.uint32)
-             << np.arange(32, dtype=np.uint32)[None, None, :]).sum(
-        axis=2, dtype=np.uint32)
-    cnt = bits.sum(axis=1)
-    rank_before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
     dt = np.int64 if wide else np.int32
     blocks = np.zeros((nblocks, 4), dtype=dt)
-    blocks[:, 0] = rank_before
-    blocks[:, 1] = words[:, 0].view(np.int32)
-    blocks[:, 2] = words[:, 1].view(np.int32)
+    vals_parts = []
+    shifts32 = np.arange(32, dtype=np.uint32)[None, :]
+    C = 1 << 26  # 64M rows per chunk (multiple of 64)
+    rank = 0
+    for lo in range(0, n, C):
+        hi = min(lo + C, n)
+        sa_c = chunk(lo, hi)
+        mask = (sa_c % intv) == 0
+        vals_parts.append(sa_c[mask].astype(dt))
+        nb = (hi - lo + 63) // 64
+        bits = np.zeros(nb * 64, dtype=bool)
+        bits[: hi - lo] = mask
+        w = bits.reshape(nb, 2, 32)
+        words = (w.astype(np.uint32) << shifts32[None, :, :]).sum(
+            axis=2, dtype=np.uint32)
+        cnt = bits.reshape(nb, 64).sum(axis=1)
+        b0 = lo // 64
+        blocks[b0:b0 + nb, 0] = rank + np.cumsum(cnt) - cnt
+        blocks[b0:b0 + nb, 1] = words[:, 0].view(np.int32)
+        blocks[b0:b0 + nb, 2] = words[:, 1].view(np.int32)
+        rank += int(cnt.sum())
+    vals = np.concatenate(vals_parts) if vals_parts else \
+        np.zeros(0, dtype=dt)
     return SampledSA(blocks=jnp.asarray(blocks),
-                     vals=jnp.asarray(vals.astype(dt)))
+                     vals=jnp.asarray(vals))
 
 
 def lf_step(di: DeviceIndex, r: jax.Array) -> jax.Array:
