@@ -140,8 +140,11 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         # gscore update when the band touches the query end:
         # H_row[qlen] = H_tail[qlen-1] (qlen >= 1 when act)
         reach_end = act & (i + w + 1 >= qlen)
-        h_last = jnp.sum(jnp.where(qlast, H, 0), axis=1)
-        h_last = jnp.where(qlen > 0, h_last, boundary)
+        # x64 note: jnp.sum promotes int32 -> int64 when jax_enable_x64
+        # is on (wide-index serving) — pin the accumulator dtype or the
+        # while_loop carry types diverge between trace and body
+        h_last = jnp.sum(jnp.where(qlast, H, 0), axis=1, dtype=I32)
+        h_last = jnp.where(qlen > 0, h_last, boundary).astype(I32)
         g_upd = reach_end & (h_last >= gscore)
         gscore = jnp.where(g_upd, h_last, gscore)
         max_ie = jnp.where(g_upd, i, max_ie)
@@ -175,8 +178,10 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
         E_ref[:, :] = E
         M_ref[:, :] = M
         return (i + 1,
-                jnp.where(keep, boundary, Hb),
-                best_n, best_i_n, best_j_n, max_ie, gscore, max_off_n,
+                jnp.where(keep, boundary, Hb).astype(I32),
+                best_n.astype(I32), best_i_n.astype(I32),
+                best_j_n.astype(I32), max_ie.astype(I32),
+                gscore.astype(I32), max_off_n.astype(I32),
                 alive_n.astype(I32))
 
     st = jax.lax.while_loop(cond, body, st)
