@@ -121,3 +121,45 @@ def test_flat_matches_generator_multicontig_short():
     reads.append(("tiny", "ACGTACGT", "IIIIIIII"))  # < min_seed_len
     batch = next(batch_reads([Read(*r) for r in reads], 64, 160))
     _assert_equal_regs(_regs_flat(al, batch), _regs_old(al, batch))
+
+
+def test_run_waves_split_matches_fused():
+    """The split left/right wave streams (independent depth sorting,
+    score0 relayed through the host) must reproduce the fused
+    single-program path exactly, at a job count that exercises the
+    split path (> 512)."""
+    import jax.numpy as jnp
+
+    from tpubwa.align import flatext
+    from tpubwa.align.pipeline import Aligner
+    from tpubwa.config import MemOptions
+    from tpubwa.index.fmindex import FMIndex
+    from tpubwa.io.fasta import Contig
+    from tpubwa.io.fastq import Read, batch_reads
+    from tpubwa.utils import sim
+    from tpubwa.utils.gensim import repeat_genome
+
+    rng = np.random.default_rng(77)
+    codes = repeat_genome(rng, 80_000)
+    contigs = [Contig("c1", 80_000, 0)]
+    idx = FMIndex.build(contigs, codes)
+    al = Aligner(idx, MemOptions(batch_reads=256, max_read_len=160))
+    reads = [Read(*r) for r in sim.simulate_reads(
+        codes, contigs, 256, length=150, err=0.02, indel=0.003, seed=2)]
+    batch = next(batch_reads(reads, 256, 160))
+    rows, l_rep = al.seed_batch(batch.codes, batch.lens)
+    B = batch.n
+    bounds = np.searchsorted(rows[:, 0], np.arange(B + 1))
+    skip = (np.asarray(batch.lens) < al.opt.min_seed_len).astype(np.uint8)
+    prep = flatext.prepare_jobs(al.opt, idx.l_pac, al.contig_offsets,
+                                rows, bounds, skip, batch.lens, l_rep[:B])
+    assert prep is not None
+    handle, jobs, n_jobs = prep
+    assert n_jobs > 512, f"fixture too small to exercise the split path" \
+        f" ({n_jobs} jobs)"
+    codes_dev = jnp.asarray(np.asarray(batch.codes, np.int32))
+    lens_dev = jnp.asarray(np.asarray(batch.lens, np.int32))
+    got = flatext.run_waves(al, codes_dev, lens_dev, jobs, n_jobs,
+                            lens_host=batch.lens)
+    want = flatext._run_waves_fused(al, codes_dev, lens_dev, jobs, n_jobs)
+    np.testing.assert_array_equal(got, want)

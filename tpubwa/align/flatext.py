@@ -94,7 +94,7 @@ def prepare_jobs(opt: MemOptions, l_pac: int, contig_offsets: np.ndarray,
 
 def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
               n_jobs: int, lens_host=None) -> np.ndarray:
-    """Run the extension device program over the job list in pow2 waves;
+    """Run the extension device programs over the job list in pow2 waves;
     returns int32 [n_jobs, 14] results.  codes_dev/lens_dev are the device
     read batch (passed through, not stored — -t workers each carry their
     own batch).
@@ -105,33 +105,112 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
     the host.  Downloads are also started async (copy_to_host_async) so
     the per-wave round trips overlap.
 
-    Jobs are processed in EFFECTIVE-ROW order (each DP lane dies once its
-    band passes the query end, ~min(tlen, qlen+w) target rows): the Pallas
-    kernel's early exit is per 256-lane tile, so homogeneous tiles finish
-    at their own depth instead of every tile running to the global max.
-    Results are returned in the original job order."""
+    The LEFT and RIGHT extension halves run as SEPARATE wave streams,
+    each sorted by its OWN effective depth (~min(tlen, qlen+w): a DP lane
+    dies once its band passes the query end, and the Pallas kernel's
+    early exit is per tile) — jointly sorting by max(left, right) made a
+    lane with a deep right window drag its shallow left tile to the joint
+    max (measured 1.4x more tile-rows).  The right stream seeds from the
+    left stream's score0 (bwa's mem_chain2aln order), relayed through the
+    host between streams.  Small batches (<= 512 jobs) keep the fused
+    single-program path.  Results are returned in the original job
+    order."""
     from tpubwa.ops.extend_flat import Q_PAD, T_PAD
 
-    order = None
-    if n_jobs > 512:
-        w0 = aligner.opt.w
-        qb = jobs["qbeg"][:n_jobs].astype(np.int64)
-        sl = jobs["slen"][:n_jobs].astype(np.int64)
-        d_l = np.minimum(jobs["rbeg"][:n_jobs]
-                         - jobs["rmax0"][:n_jobs], T_PAD)
-        d_r = np.minimum(jobs["rmax1"][:n_jobs]
-                         - jobs["rbeg"][:n_jobs] - sl, T_PAD)
-        q_l = np.minimum(qb, Q_PAD)
-        if lens_host is not None:
-            q_r = np.minimum(np.asarray(lens_host)[jobs["read"][:n_jobs]]
-                             - qb - sl, Q_PAD)
-        else:
-            q_r = Q_PAD
-        rows_l = np.minimum(d_l, q_l + w0 + 1)
-        rows_r = np.minimum(d_r, q_r + w0 + 1)
-        key = np.maximum(rows_l, rows_r)
-        order = np.argsort(key, kind="stable").astype(np.int64)
-        jobs = {k: v[:n_jobs][order] for k, v in jobs.items()}
+    if n_jobs <= 512:
+        return _run_waves_fused(aligner, codes_dev, lens_dev, jobs,
+                                n_jobs)
+
+    opt = aligner.opt
+    w0 = opt.w
+    jb = {k: v[:n_jobs] for k, v in jobs.items()}
+    qb = jb["qbeg"].astype(np.int64)
+    sl = jb["slen"].astype(np.int64)
+    d_l = np.minimum(jb["rbeg"] - jb["rmax0"], T_PAD)
+    d_r = np.minimum(jb["rmax1"] - jb["rbeg"] - sl, T_PAD)
+    q_l = np.minimum(qb, Q_PAD)
+    if lens_host is not None:
+        q_r = np.minimum(np.asarray(lens_host)[jb["read"]] - qb - sl,
+                         Q_PAD)
+    else:
+        q_r = Q_PAD
+    rows_l = np.minimum(d_l, q_l + w0 + 1)
+    rows_r = np.minimum(d_r, q_r + w0 + 1)
+    ord_l = np.argsort(rows_l, kind="stable").astype(np.int64)
+    ord_r = np.argsort(rows_r, kind="stable").astype(np.int64)
+
+    out = np.empty((n_jobs, 14), np.int32)
+    core = aligner.ext_core
+    put = aligner._put
+
+    def waves_of(order, fields, fn, ncols):
+        """Dispatch fn over pow2 waves of the permuted job list; returns
+        [(j0, take, device result)] in permuted coordinates."""
+        res = []
+        j0 = 0
+        while j0 < n_jobs:
+            take = min(n_jobs - j0, MAX_WAVE)
+            W = MIN_WAVE
+            while W < take:
+                W <<= 1
+            if 1024 < W < MAX_WAVE:
+                W = MAX_WAVE // 2
+            rows = order[j0:j0 + take]
+
+            def pad(a):
+                v = np.zeros(W, a.dtype)
+                v[:take] = a[rows]
+                return v
+
+            r = fn([put(pad(f)) for f in fields])
+            res.append((j0, take, r))
+            j0 += take
+        for _, _, r in res:
+            try:
+                r.copy_to_host_async()
+            except Exception:
+                break
+        return res
+
+    from tpubwa.ops.extend_flat import extend_jobs_left, extend_jobs_right
+
+    kwl = dict(o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+               e_ins=opt.e_ins, zdrop=opt.zdrop, mat_max=opt.a, w0=w0,
+               core=core)
+    lw = waves_of(
+        ord_l,
+        [jb["read"], jb["qbeg"], jb["rbeg"], jb["rmax0"], jb["h0"]],
+        lambda a: extend_jobs_left(aligner.di, codes_dev, lens_dev, *a,
+                                   aligner.mat_dev,
+                                   pen_clip5=opt.pen_clip5, **kwl),
+        8)
+    left8 = np.empty((n_jobs, 8), np.int32)
+    for j0, take, r in lw:
+        left8[ord_l[j0:j0 + take]] = np.asarray(r)[:, :take].T
+    score0 = left8[:, 7].copy()
+
+    rw = waves_of(
+        ord_r,
+        [jb["read"], jb["qbeg"], jb["slen"], jb["rbeg"], jb["rmax1"],
+         score0.astype(np.int32)],
+        lambda a: extend_jobs_right(aligner.di, codes_dev, lens_dev, *a,
+                                    aligner.mat_dev,
+                                    pen_clip3=opt.pen_clip3, **kwl),
+        7)
+    out[:, 0:6] = left8[:, 0:6]
+    out[:, 12] = left8[:, 6]              # aw0
+    for j0, take, r in rw:
+        r7 = np.asarray(r)[:, :take].T
+        rows = ord_r[j0:j0 + take]
+        out[rows, 6:12] = r7[:, 0:6]
+        out[rows, 13] = r7[:, 6]          # aw1
+    return np.ascontiguousarray(out)
+
+
+def _run_waves_fused(aligner, codes_dev, lens_dev, jobs: dict,
+                     n_jobs: int) -> np.ndarray:
+    """Single fused-program wave path (both extension halves in one
+    device call) for small job lists."""
     out = np.empty((max(n_jobs, 1), 14), np.int32)
     core = aligner.ext_core
     waves = []  # (j0, take, device [14, W])
@@ -142,10 +221,6 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
         while W < take:
             W <<= 1
         if 1024 < W < MAX_WAVE:
-            # only {.., 1024, MAX_WAVE/2, MAX_WAVE} wave shapes exist:
-            # every pow2 width would compile (and miss the persistent
-            # cache for the Pallas kernel) on the first odd-sized tail
-            # batch — a multi-second stall mid-pipeline
             W = MAX_WAVE // 2
         sl = slice(j0, j0 + take)
 
@@ -170,10 +245,6 @@ def run_waves(aligner, codes_dev, lens_dev, jobs: dict,
             break
     for j0, take, res in waves:
         out[j0:j0 + take] = np.asarray(res)[:, :take].T
-    if order is not None:
-        inv = np.empty_like(order)
-        inv[order] = np.arange(n_jobs, dtype=np.int64)
-        out = out[inv]
     return np.ascontiguousarray(out)
 
 
