@@ -163,3 +163,60 @@ def test_run_waves_split_matches_fused():
                             lens_host=batch.lens)
     want = flatext._run_waves_fused(al, codes_dev, lens_dev, jobs, n_jobs)
     np.testing.assert_array_equal(got, want)
+
+
+def test_phased_matches_full():
+    """Phased extension rounds (ext_phase1/ext_missing: bwa's sequential
+    seed-skip recovered for batched waves) produce byte-identical final
+    regions to running every speculative job."""
+    import jax.numpy as jnp
+
+    from tpubwa.align import flatext
+    from tpubwa.align.pipeline import Aligner
+    from tpubwa.config import MemOptions
+    from tpubwa.index.fmindex import FMIndex
+    from tpubwa.io.fasta import Contig
+    from tpubwa.io.fastq import Read, batch_reads
+    from tpubwa.utils import sim
+    from tpubwa.utils.gensim import repeat_genome
+
+    rng = np.random.default_rng(123)
+    codes = repeat_genome(rng, 90_000)
+    contigs = [Contig("c1", 90_000, 0)]
+    idx = FMIndex.build(contigs, codes)
+    al = Aligner(idx, MemOptions(batch_reads=192, max_read_len=160))
+    reads = [Read(*r) for r in sim.simulate_reads(
+        codes, contigs, 192, length=150, err=0.015, indel=0.002, seed=8)]
+    batch = next(batch_reads(reads, 192, 160))
+    rows, l_rep = al.seed_batch(batch.codes, batch.lens)
+    B = batch.n
+    bounds = np.searchsorted(rows[:, 0], np.arange(B + 1))
+    skip = (np.asarray(batch.lens) < al.opt.min_seed_len).astype(np.uint8)
+    codes_dev = jnp.asarray(np.asarray(batch.codes, np.int32))
+    lens_dev = jnp.asarray(np.asarray(batch.lens, np.int32))
+
+    def go(phased):
+        prep = flatext.prepare_jobs(al.opt, idx.l_pac, al.contig_offsets,
+                                    rows, bounds, skip, batch.lens,
+                                    l_rep[:B])
+        handle, jobs, n_jobs = prep
+        if phased:
+            res = flatext.run_phased(al, codes_dev, lens_dev, handle,
+                                     jobs, n_jobs, lens_host=batch.lens)
+            njobs_run = int((res != 0).any(axis=1).sum())
+        else:
+            res = flatext.run_waves(al, codes_dev, lens_dev, jobs, n_jobs,
+                                    lens_host=batch.lens)
+            njobs_run = n_jobs
+        fields, fb = flatext.finalize_fields(handle, res, B, n_jobs)
+        return {k: v[: fb[-1]] for k, v in fields.items()}, fb, \
+            n_jobs, njobs_run
+
+    f_full, b_full, n_jobs, _ = go(False)
+    f_ph, b_ph, _, n_run = go(True)
+    np.testing.assert_array_equal(b_full, b_ph)
+    for k in f_full:
+        np.testing.assert_array_equal(f_full[k], f_ph[k], err_msg=k)
+    # the phased path must actually SKIP a meaningful share of jobs on
+    # this repeat fixture
+    assert n_run < n_jobs, (n_run, n_jobs)

@@ -319,3 +319,53 @@ def finalize_regs(handle, results: np.ndarray, n_reads: int,
                 frac_rep=float(fields["frac_rep"][i])))
         out.append(regs)
     return out
+
+
+def run_phased(aligner, codes_dev, lens_dev, handle, jobs: dict,
+               n_jobs: int, lens_host=None) -> np.ndarray:
+    """Phased extension rounds — bwa's sequential seed-skip recovered for
+    batched device waves.
+
+    bwa's mem_chain2aln extends a chain's seeds one at a time and SKIPS a
+    seed when it is contained in an alignment built earlier (most chain
+    seeds on repeat genomes — measured 11.2 speculative jobs/read vs
+    ~4 chains/read on the chr21-style fixture).  Running every
+    speculative job up-front (round 4's scheme) wastes that skip.  The
+    phased protocol: round 1 runs the first-visited seed of every chain
+    (native ext_phase1); the native replay (ext_missing) then re-walks
+    the reads with the available results and returns exactly the jobs a
+    further round must run (greedy per read, so it terminates in <= 3
+    rounds); ext_finalize's exact sequential replay never reads a slot
+    that was not run.  Output is BIT-IDENTICAL to running all jobs
+    (tests/test_extend_flat.py::test_phased_matches_full)."""
+    import ctypes as c
+
+    from tpubwa.native import load_native
+
+    lib = load_native()
+    i64p = c.POINTER(c.c_int64)
+    i32p = c.POINTER(c.c_int32)
+    u8p = c.POINTER(c.c_uint8)
+
+    results = np.zeros((max(n_jobs, 1), 14), np.int32)
+    have = np.zeros(max(n_jobs, 1), np.uint8)
+    ids = np.empty(max(n_jobs, 1), np.int64)
+    n1 = lib.ext_phase1(handle, ids.ctypes.data_as(i64p))
+    run = ids[:n1].copy()
+    rounds = 0
+    while run.size:
+        sub = {k: np.ascontiguousarray(v[:n_jobs][run])
+               for k, v in jobs.items()}
+        res = run_waves(aligner, codes_dev, lens_dev, sub, run.size,
+                        lens_host=lens_host)
+        results[run] = res
+        have[run] = 1
+        rounds += 1
+        n_miss = lib.ext_missing(
+            handle, results.ctypes.data_as(i32p),
+            have.ctypes.data_as(u8p), ids.ctypes.data_as(i64p),
+            len(ids))
+        if n_miss < 0:
+            raise RuntimeError("ext_missing capacity exceeded")
+        run = ids[:n_miss].copy()
+    return results

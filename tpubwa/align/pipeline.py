@@ -370,8 +370,9 @@ class Aligner:
             return None, (seed_rows, l_rep)
         handle, jobs, n_jobs = prep
         with self.timers.phase("BSW"):
-            results = flatext.run_waves(self, codes_dev, lens_dev, jobs,
-                                        n_jobs, lens_host=batch.lens)
+            results = flatext.run_phased(self, codes_dev, lens_dev,
+                                         handle, jobs, n_jobs,
+                                         lens_host=batch.lens)
             fields, fbounds = flatext.finalize_fields(handle, results, B,
                                                       n_jobs)
         return (fields, fbounds), None

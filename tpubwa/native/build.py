@@ -96,6 +96,12 @@ def _declare(lib) -> None:
     lib.ext_free.restype = None
     lib.ext_free.argtypes = [c.c_void_p]
 
+    lib.ext_phase1.restype = c.c_int64
+    lib.ext_phase1.argtypes = [c.c_void_p, i64p]
+
+    lib.ext_missing.restype = c.c_int64
+    lib.ext_missing.argtypes = [c.c_void_p, i32p, u8p, i64p, c.c_int64]
+
     i8p = c.POINTER(c.c_int8)
     lib.sam_emit_se.restype = c.c_int64
     lib.sam_emit_se.argtypes = [

@@ -201,6 +201,213 @@ void* ext_prepare(
 //   results  [n_jobs, 14] int32, job order of ext_prepare:
 //            left(score,qle,tle,gtle,gscore,max_off),
 //            right(score,qle,tle,gtle,gscore,max_off), aw0, aw1
+//
+// The walk is shared between ext_finalize (build regions; all needed
+// result slots present) and ext_missing (detection: with a partial
+// result set, find which jobs another device round must run).  Unused
+// slots (seeds the walk drops) are never read, which is what makes the
+// PHASED protocol exact: ext_phase1 returns the first-visited seed per
+// chain (always a superset of bwa's first extensions), ext_missing
+// replays with what's available and greedily requests the rest of a
+// read's not-yet-run jobs from the first missing needed seed onward
+// (over-inclusive — extra DP results are simply ignored — so the loop
+// terminates in <= 3 rounds), and ext_finalize runs the exact sequential
+// replay.  On repeat genomes this cuts device DP jobs ~2-3x: bwa's
+// sequential walk skips most chain seeds as contained in the first
+// seed's alignment, and the phased protocol recovers exactly that skip
+// without giving up batched device waves.
+
+namespace {
+
+// Replay one read.  have == nullptr: build mode (regs filled, all needed
+// results assumed present).  have != nullptr: detection mode — returns
+// false at the first needed-but-missing seed after appending every
+// !have job id in [that job, job_end) to `missing`.
+bool replay_read(const ExtState* st, size_t ci_begin, size_t ci_end,
+                 int64_t job_base, int64_t job_end, int64_t l_query,
+                 const int32_t* results, const uint8_t* have,
+                 std::vector<Reg>& regs, std::vector<int64_t>* missing) {
+    const ExtOpts& o = st->opt;
+    const int64_t* rows = st->rows.data();
+    std::vector<uint8_t> dropped;
+    int64_t job_idx = job_base;
+    regs.clear();
+    for (size_t ci = ci_begin; ci < ci_end; ci++) {
+        const ExtChain& c = st->chains[ci];
+        int n = (int)c.seeds.size();
+        dropped.assign(n, 0);
+        for (int k = n - 1; k >= 0; k--, job_idx++) {
+            SeedRef s = seed_at(rows, c.seeds[c.srt[k]]);
+            // --- containment skip test (vs regions so far) ---
+            bool contained = false;
+            for (const Reg& p : regs) {
+                if (s.rbeg < p.rb || s.rbeg + s.len > p.re
+                    || s.qbeg < p.qb || s.qbeg + s.len > p.qe)
+                    continue;
+                if ((double)(s.len - p.seedlen0) > 0.1 * (double)l_query)
+                    continue;
+                int64_t qd = s.qbeg - p.qb;
+                int64_t rd = s.rbeg - p.rb;
+                int64_t ww = std::min(
+                    cal_max_gap(o, std::min(qd, rd)), (int64_t)p.w);
+                if (qd - rd < ww && rd - qd < ww) {
+                    contained = true;
+                    break;
+                }
+                qd = p.qe - (s.qbeg + s.len);
+                rd = p.re - (s.rbeg + s.len);
+                ww = std::min(
+                    cal_max_gap(o, std::min(qd, rd)), (int64_t)p.w);
+                if (qd - rd < ww && rd - qd < ww) {
+                    contained = true;
+                    break;
+                }
+            }
+            if (contained) {
+                // confirm no overlapping major seed suggests a
+                // different alignment
+                bool diff = false;
+                for (int i2 = k + 1; i2 < n; i2++) {
+                    if (dropped[c.srt[i2]]) continue;
+                    SeedRef t = seed_at(rows, c.seeds[c.srt[i2]]);
+                    if ((double)t.len < (double)s.len * 0.95) continue;
+                    if (s.qbeg <= t.qbeg
+                        && s.qbeg + s.len - t.qbeg >= (s.len >> 2)
+                        && t.qbeg - s.qbeg != t.rbeg - s.rbeg) {
+                        diff = true;
+                        break;
+                    }
+                    if (t.qbeg <= s.qbeg
+                        && t.qbeg + t.len - s.qbeg >= (s.len >> 2)
+                        && s.qbeg - t.qbeg != s.rbeg - t.rbeg) {
+                        diff = true;
+                        break;
+                    }
+                }
+                if (!diff) {
+                    dropped[c.srt[k]] = 1;
+                    continue;  // speculative result discarded
+                }
+            }
+
+            if (have != nullptr && !have[job_idx]) {
+                // detection mode: this seed needs DP; request it and
+                // (greedily) every other not-yet-run job of this read
+                for (int64_t j = job_idx; j < job_end; j++)
+                    if (!have[j]) missing->push_back(j);
+                return false;
+            }
+
+            // --- build the region from the device result ---
+            const int32_t* res = results + job_idx * 14;
+            Reg a{};
+            a.w = o.w;
+            a.score = -1;
+            a.truesc = -1;
+            a.rid = c.rid;
+            a.frac_rep = c.frac_rep;
+            a.seedlen0 = (int32_t)s.len;
+            bool has_left = s.qbeg > 0;
+            bool has_right = s.qbeg + s.len != l_query;
+            int64_t qe = s.qbeg + s.len;
+            int64_t re0 = s.rbeg + s.len - c.rmax0;
+            int32_t l_score = res[0], l_qle = res[1], l_tle = res[2];
+            int32_t l_gtle = res[3], l_gscore = res[4];
+            int32_t r_score = res[6], r_qle = res[7], r_tle = res[8];
+            int32_t r_gtle = res[9], r_gscore = res[10];
+            int32_t aw0 = res[12], aw1 = res[13];
+
+            if (has_left) {
+                a.score = l_score;
+                if (l_gscore <= 0
+                    || l_gscore <= a.score - o.pen_clip5) {
+                    a.qb = (int32_t)(s.qbeg - l_qle);
+                    a.rb = s.rbeg - l_tle;
+                    a.truesc = a.score;
+                } else {
+                    a.qb = 0;
+                    a.rb = s.rbeg - l_gtle;
+                    a.truesc = l_gscore;
+                }
+            } else {
+                a.score = a.truesc = (int32_t)(s.len * o.a);
+                a.qb = 0;
+                a.rb = s.rbeg;
+                aw0 = o.w;
+            }
+            if (has_right) {
+                int32_t sc0 = a.score;
+                a.score = r_score;
+                if (r_gscore <= 0
+                    || r_gscore <= a.score - o.pen_clip3) {
+                    a.qe = (int32_t)(qe + r_qle);
+                    a.re = c.rmax0 + re0 + r_tle;
+                    a.truesc += a.score - sc0;
+                } else {
+                    a.qe = (int32_t)l_query;
+                    a.re = c.rmax0 + re0 + r_gtle;
+                    a.truesc += r_gscore - sc0;
+                }
+            } else {
+                a.qe = (int32_t)l_query;
+                a.re = s.rbeg + s.len;
+                aw1 = o.w;
+            }
+            a.seedcov = 0;
+            for (int64_t si : c.seeds) {
+                SeedRef t = seed_at(rows, si);
+                if (t.qbeg >= a.qb && t.qbeg + t.len <= a.qe
+                    && t.rbeg >= a.rb && t.rbeg + t.len <= a.re)
+                    a.seedcov += (int32_t)t.len;
+            }
+            a.w = std::max(aw0, aw1);
+            regs.push_back(a);
+        }
+    }
+    return true;
+}
+
+}  // namespace
+
+// Phase-1 job ids: the first-visited seed of every chain (job ids index
+// ext_prepare's job order).  out_ids must hold >= n_chains entries.
+int64_t ext_phase1(void* handle, int64_t* out_ids) {
+    ExtState* st = (ExtState*)handle;
+    int64_t n = 0;
+    int64_t job_base = 0;
+    for (const ExtChain& c : st->chains) {
+        out_ids[n++] = job_base;
+        job_base += (int64_t)c.seeds.size();
+    }
+    return n;
+}
+
+// Detection round: with partial results (have[j] = 1 if job j's result
+// row is valid), return the job ids the next device round must run.
+// 0 means the result set is complete for an exact ext_finalize.
+int64_t ext_missing(void* handle, const int32_t* results,
+                    const uint8_t* have, int64_t* out_ids, int64_t cap) {
+    ExtState* st = (ExtState*)handle;
+    std::vector<Reg> regs;
+    std::vector<int64_t> missing;
+    size_t ci = 0;
+    int64_t job_base = 0;
+    for (int64_t r = 0; r < st->n_reads; r++) {
+        size_t ci0 = ci;
+        int64_t jobs_here = 0;
+        while (ci < st->chains.size() && st->chains[ci].read == r) {
+            jobs_here += (int64_t)st->chains[ci].seeds.size();
+            ci++;
+        }
+        replay_read(st, ci0, ci, job_base, job_base + jobs_here,
+                    st->lens[r], results, have, regs, &missing);
+        job_base += jobs_here;
+    }
+    if ((int64_t)missing.size() > cap) return -1;
+    for (size_t i = 0; i < missing.size(); i++) out_ids[i] = missing[i];
+    return (int64_t)missing.size();
+}
+
 // Outputs (caller-allocated; n_jobs entries suffice):
 //   per-region arrays + reg_bounds [n_reads+1] (read r's regions are
 //   [reg_bounds[r], reg_bounds[r+1]), in creation order).
@@ -213,143 +420,23 @@ int ext_finalize(
     int32_t* reg_rid, int32_t* reg_seedlen0, double* reg_frac_rep,
     int64_t* reg_bounds, int64_t cap, int64_t* out_counts) {
     ExtState* st = (ExtState*)handle;
-    const ExtOpts& o = st->opt;
-    const int64_t* rows = st->rows.data();
     int64_t n_regs = 0;
-    int64_t job_idx = 0;
-    std::vector<Reg> regs;           // regions of the current read
-    std::vector<uint8_t> dropped;
+    std::vector<Reg> regs;
     size_t ci = 0;
+    int64_t job_base = 0;
     int rc = 0;
 
     for (int64_t r = 0; r < st->n_reads; r++) {
         reg_bounds[r] = n_regs;
-        regs.clear();
-        int64_t l_query = st->lens[r];
-        for (; ci < st->chains.size() && st->chains[ci].read == r; ci++) {
-            const ExtChain& c = st->chains[ci];
-            int n = (int)c.seeds.size();
-            dropped.assign(n, 0);
-            for (int k = n - 1; k >= 0; k--, job_idx++) {
-                const int32_t* res = results + job_idx * 14;
-                SeedRef s = seed_at(rows, c.seeds[c.srt[k]]);
-                // --- containment skip test (vs regions so far) ---
-                bool contained = false;
-                for (const Reg& p : regs) {
-                    if (s.rbeg < p.rb || s.rbeg + s.len > p.re
-                        || s.qbeg < p.qb || s.qbeg + s.len > p.qe)
-                        continue;
-                    if ((double)(s.len - p.seedlen0) > 0.1 * (double)l_query)
-                        continue;
-                    int64_t qd = s.qbeg - p.qb;
-                    int64_t rd = s.rbeg - p.rb;
-                    int64_t ww = std::min(
-                        cal_max_gap(o, std::min(qd, rd)), (int64_t)p.w);
-                    if (qd - rd < ww && rd - qd < ww) {
-                        contained = true;
-                        break;
-                    }
-                    qd = p.qe - (s.qbeg + s.len);
-                    rd = p.re - (s.rbeg + s.len);
-                    ww = std::min(
-                        cal_max_gap(o, std::min(qd, rd)), (int64_t)p.w);
-                    if (qd - rd < ww && rd - qd < ww) {
-                        contained = true;
-                        break;
-                    }
-                }
-                if (contained) {
-                    // confirm no overlapping major seed suggests a
-                    // different alignment
-                    bool diff = false;
-                    for (int i2 = k + 1; i2 < n; i2++) {
-                        if (dropped[c.srt[i2]]) continue;
-                        SeedRef t = seed_at(rows, c.seeds[c.srt[i2]]);
-                        if ((double)t.len < (double)s.len * 0.95) continue;
-                        if (s.qbeg <= t.qbeg
-                            && s.qbeg + s.len - t.qbeg >= (s.len >> 2)
-                            && t.qbeg - s.qbeg != t.rbeg - s.rbeg) {
-                            diff = true;
-                            break;
-                        }
-                        if (t.qbeg <= s.qbeg
-                            && t.qbeg + t.len - s.qbeg >= (s.len >> 2)
-                            && s.qbeg - t.qbeg != s.rbeg - t.rbeg) {
-                            diff = true;
-                            break;
-                        }
-                    }
-                    if (!diff) {
-                        dropped[c.srt[k]] = 1;
-                        continue;  // speculative result discarded
-                    }
-                }
-
-                // --- build the region from the device result ---
-                Reg a{};
-                a.w = o.w;
-                a.score = -1;
-                a.truesc = -1;
-                a.rid = c.rid;
-                a.frac_rep = c.frac_rep;
-                a.seedlen0 = (int32_t)s.len;
-                bool has_left = s.qbeg > 0;
-                bool has_right = s.qbeg + s.len != l_query;
-                int64_t qe = s.qbeg + s.len;
-                int64_t re0 = s.rbeg + s.len - c.rmax0;
-                int32_t l_score = res[0], l_qle = res[1], l_tle = res[2];
-                int32_t l_gtle = res[3], l_gscore = res[4];
-                int32_t r_score = res[6], r_qle = res[7], r_tle = res[8];
-                int32_t r_gtle = res[9], r_gscore = res[10];
-                int32_t aw0 = res[12], aw1 = res[13];
-
-                if (has_left) {
-                    a.score = l_score;
-                    if (l_gscore <= 0
-                        || l_gscore <= a.score - o.pen_clip5) {
-                        a.qb = (int32_t)(s.qbeg - l_qle);
-                        a.rb = s.rbeg - l_tle;
-                        a.truesc = a.score;
-                    } else {
-                        a.qb = 0;
-                        a.rb = s.rbeg - l_gtle;
-                        a.truesc = l_gscore;
-                    }
-                } else {
-                    a.score = a.truesc = (int32_t)(s.len * o.a);
-                    a.qb = 0;
-                    a.rb = s.rbeg;
-                    aw0 = o.w;
-                }
-                if (has_right) {
-                    int32_t sc0 = a.score;
-                    a.score = r_score;
-                    if (r_gscore <= 0
-                        || r_gscore <= a.score - o.pen_clip3) {
-                        a.qe = (int32_t)(qe + r_qle);
-                        a.re = c.rmax0 + re0 + r_tle;
-                        a.truesc += a.score - sc0;
-                    } else {
-                        a.qe = (int32_t)l_query;
-                        a.re = c.rmax0 + re0 + r_gtle;
-                        a.truesc += r_gscore - sc0;
-                    }
-                } else {
-                    a.qe = (int32_t)l_query;
-                    a.re = s.rbeg + s.len;
-                    aw1 = o.w;
-                }
-                a.seedcov = 0;
-                for (int64_t si : c.seeds) {
-                    SeedRef t = seed_at(rows, si);
-                    if (t.qbeg >= a.qb && t.qbeg + t.len <= a.qe
-                        && t.rbeg >= a.rb && t.rbeg + t.len <= a.re)
-                        a.seedcov += (int32_t)t.len;
-                }
-                a.w = std::max(aw0, aw1);
-                regs.push_back(a);
-            }
+        size_t ci0 = ci;
+        int64_t jobs_here = 0;
+        while (ci < st->chains.size() && st->chains[ci].read == r) {
+            jobs_here += (int64_t)st->chains[ci].seeds.size();
+            ci++;
         }
+        replay_read(st, ci0, ci, job_base, job_base + jobs_here,
+                    st->lens[r], results, nullptr, regs, nullptr);
+        job_base += jobs_here;
         // flush this read's regions
         for (const Reg& p : regs) {
             if (n_regs >= cap) {

@@ -94,7 +94,10 @@ def _kernel(sc_ref, q_ref, t_ref, qlen_ref, tlen_ref, w_ref, h0_ref,
 
     def cond(st):
         i, alive_i = st[0], st[-1]
-        return jnp.any((alive_i > 0) & (i < tlen))
+        # int32 max-reduce, not jnp.any: Mosaic lowers the bool any()
+        # through a float mask that becomes float64 under jax x64 (wide
+        # indexes) and fails scalar conversion
+        return jnp.max(((alive_i > 0) & (i < tlen)).astype(I32)) > 0
 
     def body(st):
         (i, Hb, best, best_i, best_j, max_ie, gscore, max_off,
