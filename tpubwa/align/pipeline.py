@@ -151,13 +151,19 @@ class Aligner:
         #                          tracks the previous batch's row count)
         platform = (mesh.devices.flat[0].platform if mesh is not None
                     else jax.devices()[0].platform)
-        if platform == "tpu":
+        wide_idx = idx.seq_len + 1 >= 1 << 31
+        if platform == "tpu" and not wide_idx:
             # production path: VMEM-resident Pallas DP core
             from tpubwa.ops.extend_pallas import (_extend_core_pallas,
                                                   extend_seed_batch_pallas)
             self._extend = extend_seed_batch_pallas
             self.ext_core = _extend_core_pallas
         else:
+            # lax.scan core: CPU, and wide (x64) TPU serving — this
+            # environment's libtpu cannot compile ANY Pallas kernel under
+            # jax x64 (Mosaic convert-lowering recursion; even a minimal
+            # int32 kernel fails — same toolchain class as the int16
+            # block, BENCH_r04_kernel.md)
             self._extend = extend_seed_batch
             self.ext_core = None
         self.mat_dev = self._put(self.mat, batch=False)
