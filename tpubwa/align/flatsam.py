@@ -66,15 +66,16 @@ def _infer_bw_vec(l1, l2, score, a: int, q: int, r: int) -> np.ndarray:
 
 
 def _pow2(n: int, lo: int = 64) -> int:
-    """Lane-bucket size: 4^k granularity up to 4096 (64, 256, 1024, 4096),
-    pow2 above (8192, 16384, ...).  Coarse buckets keep the set of
+    """Lane-bucket size: 4^k granularity up to 1024 (64, 256, 1024), pow2
+    above (2048, 4096, 8192, ...).  Coarse buckets keep the set of
     compiled shapes tiny — a tail batch whose subset sizes land in a
     never-seen pow2 bucket would stall mid-pipeline on a fresh compile —
-    while the pow2 tail avoids 2x padding waste at production lane
-    counts."""
+    while the pow2 range covers production lane counts without 2x padding
+    (the GA bucket measured 1,998 live lanes padded to 4,096 under the
+    4^k ladder: half the GA kernel time was padding)."""
     b = lo
     while b < n:
-        b <<= 2 if b < 4096 else 1
+        b <<= 2 if b < 1024 else 1
     return b
 
 
