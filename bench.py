@@ -316,6 +316,7 @@ def main() -> int:
     # alignment of all reads
     n_pass = int(os.environ.get("TPUBWA_BENCH_PASSES", "3"))
     times = []
+    aligner.timers = type(aligner.timers)()  # timed-region phase profile
     for _p in range(n_pass):
         sink = _NullOut()
         t0 = time.monotonic()
@@ -323,6 +324,9 @@ def main() -> int:
         times.append(time.monotonic() - t0)
     times.sort()
     dt = times[len(times) // 2] if n_pass >= 3 else times[0]
+    print("[bench] pass times: "
+          + " ".join(f"{x:.2f}s" for x in times), file=sys.stderr)
+    print(aligner.timers.report(), file=sys.stderr)
 
     rps = n_reads / dt
     result = {
