@@ -175,24 +175,46 @@ def run_variant(name, B=4096, Q=192, T=256, **flags):
         out_shape=jax.ShapeDtypeStruct((B, 8), I32),
         scratch_shapes=[pltpu.VMEM((tb, Q), I32)] * 3,
     )
-    jf = jax.jit(f)
     sc = jnp.asarray(np.array([[1, -4, -1]], np.int32))
     args = (sc, jnp.asarray(q), jnp.asarray(t.T).astype(I32),
             jnp.asarray(np.full((B, 1), Q, np.int32)),
             jnp.asarray(np.full((B, 1), T, np.int32)),
             jnp.asarray(np.full((B, 1), 100, np.int32)),
             jnp.asarray(np.full((B, 1), 1, np.int32)))
-    r = jf(*args)
-    jax.block_until_ready(r)
-    best = 1e9
-    for _ in range(4):
+
+    # honest timing on the tunneled backend (see bench.py bench_kernel):
+    # REP kernels inside one program with a data-dependent carry (h0 varies
+    # per rep so nothing CSEs or content-caches), wall forced by d2h
+    # readback, d2h fixed cost probed and subtracted.
+    REP = 8
+
+    @jax.jit
+    def many(sc, q, tT, qlen, tlen, w, h0):
+        def body(c, _):
+            out = f(sc, q, tT, qlen, tlen, w, h0 + (c & 7))
+            return c + out[0, 0], out[0, 0]
+        _, s = jax.lax.scan(body, jnp.zeros((), I32), None, length=REP)
+        return s
+
+    _ = np.asarray(many(*args))
+    dt = 1e9
+    for k in range(3):
+        a2 = list(args)
+        a2[6] = args[6] + (k + 1)
         t0 = time.monotonic()
-        r = jf(*args)
-        jax.block_until_ready(r)
-        np.asarray(r)
-        best = min(best, time.monotonic() - t0)
+        _ = np.asarray(many(*a2))
+        dt = min(dt, time.monotonic() - t0)
+    probe = jnp.arange(REP, dtype=I32) + args[6][0]
+    _ = np.asarray(probe)
+    ovh = 1e9
+    for k in range(3):
+        t0 = time.monotonic()
+        _ = np.asarray(probe + (k + 1))
+        ovh = min(ovh, time.monotonic() - t0)
+    best = max(dt - min(ovh, 0.5 * dt), 1e-9) / REP
     rows = (B // tb) * T
-    print(f"{name:16s} {best*1e3:7.1f} ms  {best*1e6/rows:6.2f} us/tile-row",
+    print(f"{name:16s} {best*1e3:7.1f} ms  {best*1e6/rows:6.2f} us/tile-row"
+          f"  {B*T*Q/best/1e9:6.1f} Gcells/s(hw)",
           flush=True)
     return best
 
