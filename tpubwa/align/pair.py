@@ -464,8 +464,14 @@ def align_pe_batch(aligner, b1, b2, pair_id0: int) -> str:
 
     opt = aligner.opt
     idx = aligner.idx
-    regs1, codes_dev1 = _se_regions(aligner, b1)
-    regs2, codes_dev2 = _se_regions(aligner, b2)
+    # dispatch BOTH ends' device seeding before finishing either: end 2's
+    # SMEM/expand compute and async seed-row downloads overlap end 1's
+    # blocking d2h + host chaining + extension waves (measured: PE SAL was
+    # ~4x SE's per batch when end 2 seeded only after end 1's regions)
+    h1 = aligner.seed_batch_dispatch(b1.codes, b1.lens)
+    h2 = aligner.seed_batch_dispatch(b2.codes, b2.lens)
+    regs1, codes_dev1 = aligner.regions_batch(b1, seed_handle=h1), h1[2]
+    regs2, codes_dev2 = aligner.regions_batch(b2, seed_handle=h2), h2[2]
     # dedup/sort before pairing (mem_align1_core does this)
     regs1 = drive_rounds(
         [finalize.sort_dedup_patch_g(opt, idx, b1.codes[i, : b1.lens[i]],
@@ -843,9 +849,3 @@ def align_pe_fastq(aligner, fq1: str, fq2: str, out,
     print(aligner.timers.report(), file=sys.stderr)
     return 0
 
-
-def _se_regions(aligner, batch):
-    """Regions + the device-resident read codes (the flat PE SAM path
-    reuses them for its window gathers)."""
-    handle = aligner.seed_batch_dispatch(batch.codes, batch.lens)
-    return aligner.regions_batch(batch, seed_handle=handle), handle[2]
